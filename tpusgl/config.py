@@ -1,0 +1,236 @@
+"""Model and engine configuration.
+
+Mirrors the semantics of the reference's config plumbing
+(/root/reference/model_loader.py:18-53 `BabyQwenConfig`, scheduler env knobs at
+/root/reference/scheduler.py:33-36, policy constants at scheduler.py:64-70) in a
+single typed place, extended with TPU-specific knobs (mesh axes, quantization,
+shape bucketing) that the reference does not have.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a decoder-only transformer.
+
+    Field set mirrors the reference's BabyQwenConfig
+    (/root/reference/model_loader.py:18-32); frozen + hashable so it can be a
+    static argument to jax.jit.
+    """
+
+    hidden_size: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    intermediate_size: int
+    num_hidden_layers: int
+    vocab_size: int
+    rms_norm_eps: float = 1e-6
+    hidden_act: str = "silu"
+    max_position_embeddings: int = 32768
+    rope_theta: float = 1000000.0
+    rope_scaling_factor: float = 1.0  # "linear" scaling folds into theta, like ref
+    tie_word_embeddings: bool = False
+    attention_bias: bool = True  # Qwen2 uses bias on QKV only
+    architecture: str = "qwen2"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def q_size(self) -> int:
+        return self.num_attention_heads * self.head_dim
+
+    @property
+    def kv_size(self) -> int:
+        return self.num_key_value_heads * self.head_dim
+
+    @classmethod
+    def from_hf_dict(cls, cfg: Dict[str, Any]) -> "ModelConfig":
+        """Build from a HuggingFace config.json dict (no network needed)."""
+        rope_scaling = cfg.get("rope_scaling") or {}
+        factor = 1.0
+        if rope_scaling.get("type") == "linear":
+            factor = float(rope_scaling.get("factor", 1.0))
+        arch = (cfg.get("architectures") or ["Qwen2ForCausalLM"])[0]
+        arch_key = {
+            "Qwen2ForCausalLM": "qwen2",
+            "LlamaForCausalLM": "llama",
+        }.get(arch, "qwen2")
+        return cls(
+            hidden_size=cfg["hidden_size"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get(
+                "num_key_value_heads", cfg["num_attention_heads"]
+            ),
+            intermediate_size=cfg["intermediate_size"],
+            num_hidden_layers=cfg["num_hidden_layers"],
+            vocab_size=cfg["vocab_size"],
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+            hidden_act=cfg.get("hidden_act", "silu"),
+            max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+            rope_theta=cfg.get("rope_theta", 1000000.0),
+            rope_scaling_factor=factor,
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias", arch_key == "qwen2"),
+            architecture=arch_key,
+        )
+
+    @classmethod
+    def from_json(cls, path: str) -> "ModelConfig":
+        with open(path) as f:
+            return cls.from_hf_dict(json.load(f))
+
+
+# Local presets for the Qwen2.5 family (HF config.json values), usable without
+# network access. Dims cross-checked against the public Qwen2.5 release.
+QWEN2_5_PRESETS: Dict[str, ModelConfig] = {
+    "qwen2.5-0.5b": ModelConfig(
+        hidden_size=896, num_attention_heads=14, num_key_value_heads=2,
+        intermediate_size=4864, num_hidden_layers=24, vocab_size=151936,
+        tie_word_embeddings=True,
+    ),
+    "qwen2.5-1.5b": ModelConfig(
+        hidden_size=1536, num_attention_heads=12, num_key_value_heads=2,
+        intermediate_size=8960, num_hidden_layers=28, vocab_size=151936,
+        tie_word_embeddings=True,
+    ),
+    "qwen2.5-3b": ModelConfig(
+        hidden_size=2048, num_attention_heads=16, num_key_value_heads=2,
+        intermediate_size=11008, num_hidden_layers=36, vocab_size=151936,
+        tie_word_embeddings=True,
+    ),
+    "qwen2.5-7b": ModelConfig(
+        hidden_size=3584, num_attention_heads=28, num_key_value_heads=4,
+        intermediate_size=18944, num_hidden_layers=28, vocab_size=152064,
+    ),
+    "qwen2.5-14b": ModelConfig(
+        hidden_size=5120, num_attention_heads=40, num_key_value_heads=8,
+        intermediate_size=13824, num_hidden_layers=48, vocab_size=152064,
+        rms_norm_eps=1e-5,
+    ),
+    "qwen2.5-32b": ModelConfig(
+        hidden_size=5120, num_attention_heads=40, num_key_value_heads=8,
+        intermediate_size=27648, num_hidden_layers=64, vocab_size=152064,
+        rms_norm_eps=1e-5,
+    ),
+    "qwen2.5-72b": ModelConfig(
+        hidden_size=8192, num_attention_heads=64, num_key_value_heads=8,
+        intermediate_size=29568, num_hidden_layers=80, vocab_size=152064,
+        rms_norm_eps=1e-5,
+    ),
+    # Tiny configs for tests.
+    "tiny": ModelConfig(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, num_hidden_layers=2, vocab_size=256,
+        tie_word_embeddings=True, max_position_embeddings=512,
+    ),
+    "tiny-8kv": ModelConfig(
+        hidden_size=128, num_attention_heads=8, num_key_value_heads=8,
+        intermediate_size=256, num_hidden_layers=2, vocab_size=256,
+        max_position_embeddings=512,
+    ),
+}
+
+
+def resolve_model_config(model_id: str) -> ModelConfig:
+    """Resolve a model id to a ModelConfig.
+
+    Accepts a preset name ("qwen2.5-7b"), an HF-style repo id whose size suffix
+    matches a preset ("Qwen/Qwen2.5-7B-Instruct"), or a local directory
+    containing config.json.
+    """
+    key = model_id.lower()
+    if key in QWEN2_5_PRESETS:
+        return QWEN2_5_PRESETS[key]
+    if os.path.isdir(model_id):
+        cfg_path = os.path.join(model_id, "config.json")
+        if os.path.exists(cfg_path):
+            return ModelConfig.from_json(cfg_path)
+    # Try to map HF ids like Qwen/Qwen2.5-7B-Instruct.
+    base = key.split("/")[-1]
+    for suffix in ("-instruct", "-chat"):
+        if base.endswith(suffix):
+            base = base[: -len(suffix)]
+    if base in QWEN2_5_PRESETS:
+        return QWEN2_5_PRESETS[base]
+    raise ValueError(
+        f"Unknown model id {model_id!r}; known presets: {sorted(QWEN2_5_PRESETS)}"
+    )
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight / KV quantization settings (reference has only fp8 stubs,
+    /root/reference/memory_pool.py:55-59)."""
+
+    weight_dtype: str = "bf16"  # bf16 | int8 | int4
+    kv_dtype: str = "bf16"      # bf16 | int8
+    group_size: int = 128       # int4 group quantization group size
+
+    def __post_init__(self):
+        assert self.weight_dtype in ("bf16", "int8", "int4"), self.weight_dtype
+        assert self.kv_dtype in ("bf16", "int8"), self.kv_dtype
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Serving engine configuration.
+
+    Defaults mirror the reference: max_total_tokens env default 131072,
+    max_requests 32 (/root/reference/scheduler.py:33-36); admission policy
+    constants (scheduler.py:64-70).
+    """
+
+    max_total_tokens: int = 131072
+    max_requests: int = 32
+    page_size: int = 1  # tokens per KV page; 1 == reference token-granular slots
+
+    # Admission / retraction policy (reference scheduler.py:64-70).
+    new_token_ratio_init: float = 0.5
+    new_token_ratio_min: float = 0.1
+    new_token_ratio_decay_steps: int = 50
+    retract_decode_steps: int = 20
+    clip_max_new_tokens_estimation: int = 512
+
+    # XLA shape bucketing. Decode batch is padded up to the next bucket;
+    # prefill token count likewise. Small sets keep compile count bounded.
+    decode_bs_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+    prefill_len_buckets: Tuple[int, ...] = (
+        16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
+    )
+    kv_len_bucket: int = 256  # kv gather length rounds up to a multiple of this
+
+    # Parallelism: data-parallel x tensor-parallel mesh shape.
+    dp: int = 1
+    tp: int = 1
+
+    quant: QuantConfig = field(default_factory=QuantConfig)
+
+    # Overlap schedule (reference overlap_worker.py) — here: async dispatch.
+    enable_overlap: bool = False
+
+    @property
+    def max_context_len(self) -> int:
+        # Reference: token_pool_size // req_pool_size (scheduler.py:43-47).
+        return self.max_total_tokens // self.max_requests
+
+    @classmethod
+    def from_env(cls, **overrides) -> "EngineConfig":
+        env = {}
+        if "BABYSGL_MAX_TOTAL_TOKENS" in os.environ:
+            env["max_total_tokens"] = int(os.environ["BABYSGL_MAX_TOTAL_TOKENS"])
+        if "BABYSGL_MAX_REQUESTS" in os.environ:
+            env["max_requests"] = int(os.environ["BABYSGL_MAX_REQUESTS"])
+        env.update(overrides)
+        return cls(**env)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,207 @@
+"""Qwen2 decoder as pure JAX functions.
+
+TPU-first re-design of the reference model (/root/reference/qwen2.py:9-316):
+
+- Pure functions over a params pytree; per-layer weights are stacked along a
+  leading layer axis and the decoder stack is a single `lax.scan`, so the layer
+  body compiles once regardless of depth.
+- Dense [B, S] token layout for both prefill and decode (decode is S == 1),
+  instead of the reference's flat ragged concat (scheduler.py:402-407) — XLA
+  needs static shapes; padding rows write their KV to the dummy slot 0
+  (mirroring memory_pool.py:82-84).
+- Fused QKV and Gate/Up projections like the reference (qwen2.py:270-290,
+  199-222) so the MXU sees large matmuls; weights are stored input-major
+  ([in, out]) for `x @ w`.
+- RMSNorm in fp32 internally (qwen2.py:131-141), RoPE with precomputed
+  cos/sin tables gathered by position (vs per-call outer product at
+  qwen2.py:249-268), "linear" rope scaling folded into theta (qwen2.py:239-243).
+- The attention implementation is injected (`attn_impl`) so the same model code
+  runs with the jnp reference attention or the Pallas paged-attention kernels.
+- LM head is applied only to each request's last token
+  (the reference wastefully projects all prefill tokens, qwen2.py:31-35).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpusgl.config import ModelConfig
+from tpusgl.ops.linear import apply_linear, init_linear
+from tpusgl.ops.attention import AttnMeta, ref_attention
+
+
+Params = Dict[str, Any]
+
+
+def precompute_rope(cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [max_pos, head_dim//2] in fp32."""
+    base = cfg.rope_theta * cfg.rope_scaling_factor  # linear scaling fold
+    d = cfg.head_dim
+    inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    pos = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
+    freqs = jnp.outer(pos, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, D]; cos/sin: [B, S, D/2] gathered by position."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (weight * (xf * jax.lax.rsqrt(var + eps)).astype(dt)).astype(dt)
+
+
+def init_params(
+    cfg: ModelConfig,
+    key: jax.Array,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> Params:
+    """Random-init parameters (tests / synthetic benchmarks)."""
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    keys = jax.random.split(key, 8)
+
+    def norm_init(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(
+            dtype
+        )
+
+    qkv_out = cfg.q_size + 2 * cfg.kv_size
+    params: Params = {
+        "embed": norm_init(keys[0], (cfg.vocab_size, H), H),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": {
+            "input_norm": jnp.ones((L, H), dtype),
+            "post_norm": jnp.ones((L, H), dtype),
+            "qkv": init_linear(
+                keys[1], L, H, qkv_out, dtype, bias=cfg.attention_bias
+            ),
+            "o": init_linear(keys[2], L, cfg.q_size, H, dtype, bias=False),
+            "gate_up": init_linear(
+                keys[3], L, H, 2 * cfg.intermediate_size, dtype, bias=False
+            ),
+            "down": init_linear(
+                keys[4], L, cfg.intermediate_size, H, dtype, bias=False
+            ),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm_init(keys[5], (cfg.vocab_size, H), H)
+    cos, sin = precompute_rope(cfg)
+    params["rope_cos"] = cos
+    params["rope_sin"] = sin
+    return params
+
+
+def _layer(
+    cfg: ModelConfig,
+    layer_params: Params,
+    layer_idx: jnp.ndarray,
+    hidden: jnp.ndarray,
+    residual: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_k: jnp.ndarray,
+    kv_v: jnp.ndarray,
+    meta: AttnMeta,
+    attn_impl: Callable,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    B, S, _ = hidden.shape
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    # Self-attention block (pre-norm with fused residual add, qwen2.py:105-123).
+    normed = rms_norm(hidden, layer_params["input_norm"], cfg.rms_norm_eps)
+    qkv = apply_linear(normed, layer_params["qkv"])
+    q = qkv[..., : cfg.q_size].reshape(B, S, Hq, D)
+    k = qkv[..., cfg.q_size : cfg.q_size + cfg.kv_size].reshape(B, S, Hkv, D)
+    v = qkv[..., cfg.q_size + cfg.kv_size :].reshape(B, S, Hkv, D)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    attn_out, kv_k, kv_v = attn_impl(layer_idx, q, k, v, kv_k, kv_v, meta)
+    attn_out = apply_linear(attn_out.reshape(B, S, Hq * D), layer_params["o"])
+
+    hidden = residual + attn_out
+    residual = hidden
+
+    # MLP block: SwiGLU with fused gate/up (qwen2.py:199-222).
+    normed = rms_norm(hidden, layer_params["post_norm"], cfg.rms_norm_eps)
+    gate_up = apply_linear(normed, layer_params["gate_up"])
+    gate = gate_up[..., : cfg.intermediate_size]
+    up = gate_up[..., cfg.intermediate_size :]
+    mlp_out = apply_linear(jax.nn.silu(gate) * up, layer_params["down"])
+
+    hidden = residual + mlp_out
+    return hidden, hidden, kv_k, kv_v
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # [B, S] int32
+    meta: AttnMeta,
+    kv_k: jnp.ndarray,  # [L, num_slots+1, Hkv, D]
+    kv_v: jnp.ndarray,
+    attn_impl: Callable = ref_attention,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the decoder stack; returns (last_hidden [B, hidden], kv_k', kv_v').
+
+    `meta.positions` drives both RoPE and causal masking; padding tokens have
+    out_loc 0 (dummy slot) so their KV writes are harmless.
+    """
+    B, S = input_ids.shape
+    hidden = jnp.take(params["embed"], input_ids, axis=0)
+
+    cos = jnp.take(params["rope_cos"], meta.positions, axis=0)  # [B, S, D/2]
+    sin = jnp.take(params["rope_sin"], meta.positions, axis=0)
+
+    layer_params = params["layers"]
+    L = cfg.num_hidden_layers
+
+    def body(carry, xs):
+        hidden, residual, kv_k, kv_v = carry
+        lp, li = xs
+        hidden, residual, kv_k, kv_v = _layer(
+            cfg, lp, li, hidden, residual, cos, sin, kv_k, kv_v, meta, attn_impl
+        )
+        return (hidden, residual, kv_k, kv_v), None
+
+    (hidden, _, kv_k, kv_v), _ = jax.lax.scan(
+        body,
+        (hidden, hidden, kv_k, kv_v),
+        (layer_params, jnp.arange(L)),
+    )
+
+    hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+
+    # Gather each request's last real token (ext_lens - 1, clamped for padding
+    # rows) — avoids the reference's full-vocab matmul over every prefill token.
+    last_idx = jnp.clip(meta.ext_lens - 1, 0, S - 1)  # [B]
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    return last_hidden, kv_k, kv_v
+
+
+def lm_head_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """[B, hidden] -> [B, vocab] in fp32 (tied embeddings like qwen2.py:31-35)."""
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
+
+
+def all_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Full-sequence logits [B, S, vocab] — used by the PPL harness only."""
+    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)

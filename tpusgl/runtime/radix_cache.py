@@ -1,0 +1,199 @@
+"""Radix-tree prefix cache over KV slot indices.
+
+Same host-side data structure and invariants as the reference
+(/root/reference/radix_cache.py:21-272, radix_tree.py:6-18), which is itself
+adapted from SGLang — this layer is device-agnostic by design (node values
+are int32 slot indices), so a TPU build keeps it on host unchanged in spirit:
+
+- match_prefix walks and splits nodes on partial matches
+  (radix_cache.py:40-98),
+- insert returns the matched-prefix length so callers can free duplicated KV
+  slots (radix_cache.py:100-140),
+- LRU eviction pops unlocked leaves by last_access_time with parent cascade
+  (radix_cache.py:207-245),
+- lock refcounts walk to the root and maintain evictable_size
+  (radix_cache.py:247-272).
+
+Values are numpy arrays here instead of torch tensors; a monotonic counter
+replaces time.time() for deterministic LRU order (needed for replicated
+multi-host scheduling — every host must evict identically).
+"""
+
+from __future__ import annotations
+
+import heapq
+import itertools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class TreeNode:
+    __slots__ = ("parent", "children", "key", "value", "lock_ref", "last_access")
+
+    def __init__(self):
+        self.parent: Optional[TreeNode] = None
+        self.children: Dict[int, TreeNode] = {}  # first token id -> child
+        self.key: List[int] = []
+        self.value: Optional[np.ndarray] = None  # int32 KV slot indices
+        self.lock_ref: int = 0
+        self.last_access: int = 0
+
+    def __lt__(self, other: "TreeNode") -> bool:
+        return self.last_access < other.last_access
+
+
+def _key_match(a: List[int], b: List[int]) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
+class RadixCache:
+    def __init__(self):
+        self._clock = itertools.count(1)
+        self.reset()
+
+    def reset(self) -> None:
+        self.root = TreeNode()
+        self.root.value = np.empty((0,), np.int32)
+        self.root.lock_ref = 1
+        self.evictable_size_ = 0
+
+    def _touch(self, node: TreeNode) -> None:
+        node.last_access = next(self._clock)
+
+    # -------------------------------------------------------------- matching
+
+    def match_prefix(self, key: List[int]) -> Tuple[np.ndarray, TreeNode]:
+        """Longest cached prefix of `key` -> (slot indices, deepest node)."""
+        values: List[np.ndarray] = []
+        node = self.root
+        self._touch(node)
+        while key:
+            child = node.children.get(key[0])
+            if child is None:
+                break
+            self._touch(child)
+            plen = _key_match(child.key, key)
+            if plen < len(child.key):
+                child = self._split(child, plen)
+                values.append(child.value)
+                node = child
+                break
+            values.append(child.value)
+            node = child
+            key = key[plen:]
+        out = np.concatenate(values) if values else np.empty((0,), np.int32)
+        return out, node
+
+    def _split(self, child: TreeNode, split_len: int) -> TreeNode:
+        """Split `child` so the first split_len tokens become a new parent."""
+        new_node = TreeNode()
+        new_node.parent = child.parent
+        new_node.lock_ref = child.lock_ref
+        new_node.key = child.key[:split_len]
+        new_node.value = child.value[:split_len]
+        new_node.last_access = child.last_access
+        new_node.children = {child.key[split_len]: child}
+        new_node.parent.children[new_node.key[0]] = new_node
+        child.parent = new_node
+        child.key = child.key[split_len:]
+        child.value = child.value[split_len:]
+        return new_node
+
+    # -------------------------------------------------------------- insertion
+
+    def insert(self, key: List[int], value: np.ndarray) -> int:
+        """Insert; returns length of the prefix that was already present."""
+        return self._insert(self.root, key, value)
+
+    def _insert(self, node: TreeNode, key: List[int], value: np.ndarray) -> int:
+        self._touch(node)
+        if not key:
+            return 0
+        child = node.children.get(key[0])
+        if child is None:
+            new_node = TreeNode()
+            new_node.parent = node
+            new_node.key = key
+            new_node.value = np.asarray(value, np.int32).copy()
+            node.children[key[0]] = new_node
+            self._touch(new_node)
+            self.evictable_size_ += len(value)
+            return 0
+        plen = _key_match(child.key, key)
+        if plen == len(child.key):
+            if plen == len(key):
+                self._touch(child)
+                return plen
+            return plen + self._insert(child, key[plen:], value[plen:])
+        new_node = self._split(child, plen)
+        return plen + self._insert(new_node, key[plen:], value[plen:])
+
+    # -------------------------------------------------------------- eviction
+
+    def evict(self, num_tokens: int, free_callback: Callable[[np.ndarray], None]):
+        """LRU-evict >= num_tokens unlocked leaf tokens (radix_cache.py:207-225)."""
+        leaves = self._collect_leaves()
+        heapq.heapify(leaves)
+        evicted = 0
+        while evicted < num_tokens and leaves:
+            node = heapq.heappop(leaves)
+            if node is self.root:
+                break
+            if node.lock_ref > 0:
+                continue
+            free_callback(node.value)
+            evicted += len(node.value)
+            self._delete_leaf(node)
+            if not node.parent.children:
+                heapq.heappush(leaves, node.parent)
+
+    def _collect_leaves(self) -> List[TreeNode]:
+        out, stack = [], [self.root]
+        while stack:
+            node = stack.pop()
+            if node.children:
+                stack.extend(node.children.values())
+            else:
+                out.append(node)
+        return out
+
+    def _delete_leaf(self, node: TreeNode) -> None:
+        del node.parent.children[node.key[0]]
+        self.evictable_size_ -= len(node.value)
+
+    # -------------------------------------------------------------- locking
+
+    def inc_lock_ref(self, node: Optional[TreeNode]) -> None:
+        if node is None:
+            return
+        while node is not self.root:
+            if node.lock_ref == 0:
+                self.evictable_size_ -= len(node.value)
+            node.lock_ref += 1
+            node = node.parent
+
+    def dec_lock_ref(self, node: Optional[TreeNode]) -> None:
+        if node is None:
+            return
+        while node is not self.root:
+            if node.lock_ref == 1:
+                self.evictable_size_ += len(node.value)
+            node.lock_ref -= 1
+            node = node.parent
+
+    def evictable_size(self) -> int:
+        return self.evictable_size_
+
+    def total_cached_tokens(self) -> int:
+        """All tokens held by the tree (locked + evictable) — invariant tests."""
+        total, stack = 0, [self.root]
+        while stack:
+            node = stack.pop()
+            total += len(node.value) if node.value is not None else 0
+            stack.extend(node.children.values())
+        return total
