@@ -43,3 +43,48 @@ def tiny_engine_cfg():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)
+
+
+def naive_greedy(params, cfg, prompt, n_new):
+    """Oracle: straightforward greedy decode with a private dense cache
+    (validated token-identical vs HF in test_model_golden)."""
+    import jax.numpy as jnp
+
+    from tpusgl.models import qwen2
+    from tpusgl.ops.attention import AttnMeta, ref_attention
+
+    L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+    total = len(prompt) + n_new
+    kv_k = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
+    kv_v = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
+    row = (1 + np.arange(total, dtype=np.int32))[None, :]
+    S = len(prompt)
+    meta = AttnMeta(
+        kv_rows=jnp.asarray(row),
+        seq_lens=jnp.array([S], jnp.int32),
+        ext_lens=jnp.array([S], jnp.int32),
+        positions=jnp.arange(S, dtype=jnp.int32)[None],
+        out_loc=jnp.asarray(row[:, :S]),
+    )
+    hidden, kv_k, kv_v = qwen2.forward(
+        params, cfg, jnp.asarray([list(prompt)], jnp.int32), meta, kv_k, kv_v,
+        attn_impl=ref_attention,
+    )
+    out = [int(np.argmax(np.asarray(qwen2.lm_head_logits(params, cfg, hidden))[0]))]
+    for step in range(n_new - 1):
+        pos = S + step
+        meta = AttnMeta(
+            kv_rows=jnp.asarray(row),
+            seq_lens=jnp.array([pos + 1], jnp.int32),
+            ext_lens=jnp.array([1], jnp.int32),
+            positions=jnp.array([[pos]], jnp.int32),
+            out_loc=jnp.asarray(row[:, pos : pos + 1]),
+        )
+        hidden, kv_k, kv_v = qwen2.forward(
+            params, cfg, jnp.array([[out[-1]]], jnp.int32), meta, kv_k, kv_v,
+            attn_impl=ref_attention,
+        )
+        out.append(
+            int(np.argmax(np.asarray(qwen2.lm_head_logits(params, cfg, hidden))[0]))
+        )
+    return out

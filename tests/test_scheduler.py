@@ -1,0 +1,150 @@
+"""End-to-end continuous-batching tests on the tiny model (CPU backend).
+
+The oracle is naive dense greedy decode (itself validated token-identical vs
+HF in test_model_golden). These cover the scheduler paths of SURVEY.md §3:
+admission, prefix caching, decode batching, overlap pipeline, retraction,
+and pool conservation invariants (§4.5).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import naive_greedy
+from tpusgl.config import EngineConfig, ModelConfig
+from tpusgl.models import qwen2
+from tpusgl.ops.attention import ref_attention
+from tpusgl.runtime.engine import Engine
+from tpusgl.runtime.sampling_params import SamplingParams
+
+CFG = ModelConfig(
+    hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+    intermediate_size=128, num_hidden_layers=2, vocab_size=256,
+    tie_word_embeddings=True, max_position_embeddings=512, rope_theta=10000.0,
+)
+
+ECFG = EngineConfig(
+    max_total_tokens=512,
+    max_requests=8,
+    decode_bs_buckets=(1, 2, 4, 8),
+    prefill_len_buckets=(8, 16, 32, 64),
+    kv_len_bucket=64,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return qwen2.init_params(CFG, jax.random.PRNGKey(42), jnp.float32)
+
+
+@pytest.fixture()
+def engine(params):
+    return Engine(
+        model_cfg=CFG, engine_cfg=ECFG, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+
+
+@pytest.fixture(scope="module")
+def prompts(params):
+    rng = np.random.default_rng(7)
+    lens = [5, 11, 3, 17, 9, 6]
+    return [list(rng.integers(0, CFG.vocab_size, n)) for n in lens]
+
+
+@pytest.fixture(scope="module")
+def oracle(params, prompts):
+    return {tuple(p): naive_greedy(params, CFG, p, 8) for p in prompts}
+
+
+def _assert_pools_conserved(engine):
+    sched = engine.scheduler
+    free = sched.token_pool.available_size()
+    cached = sched.tree.total_cached_tokens()
+    assert free + cached == ECFG.max_total_tokens, (free, cached)
+    assert sched.req_pool.available_size() == ECFG.max_requests
+    assert sched.tree.evictable_size() == cached  # nothing locked at rest
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_greedy_matches_oracle(engine, prompts, oracle, overlap):
+    out = engine.generate(
+        prompts,
+        SamplingParams(max_new_tokens=8, do_sample=False, eos_id=-1),
+        enable_overlap=overlap,
+    )
+    for p, o in zip(prompts, out):
+        assert o == oracle[tuple(p)], (p, o, oracle[tuple(p)])
+    _assert_pools_conserved(engine)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_radix_prefix_reuse(engine, prompts, oracle, overlap):
+    sp = SamplingParams(max_new_tokens=8, do_sample=False, eos_id=-1)
+    first = engine.generate(prompts[:2], sp, enable_overlap=overlap)
+    cached_before = engine.metrics["cached_tokens"]
+    second = engine.generate(prompts[:2], sp, enable_overlap=overlap)
+    assert first == second
+    assert engine.metrics["cached_tokens"] > cached_before
+    _assert_pools_conserved(engine)
+
+
+def test_eos_stops_generation(engine, params, prompts):
+    # Find what greedy generates first, then set that token as eos.
+    p = prompts[0]
+    first = naive_greedy(params, CFG, p, 2)[0]
+    out = engine.generate(
+        [p], SamplingParams(max_new_tokens=8, do_sample=False, eos_id=first)
+    )[0]
+    assert out == [first]
+    _assert_pools_conserved(engine)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_retraction_under_memory_pressure(params, prompts, oracle, overlap):
+    """A pool too small for all requests forces retraction; with output-
+    preserving retraction the final greedy outputs must be unchanged."""
+    # 64-token pool, 2 request slots (context rows of 32): decode needs
+    # 2 * retract_decode_steps = 40 free tokens, so retraction must fire.
+    small = dataclasses.replace(
+        ECFG, max_total_tokens=64, max_requests=2,
+        decode_bs_buckets=(1, 2), prefill_len_buckets=(8, 16, 32),
+        kv_len_bucket=16,
+    )
+    engine = Engine(
+        model_cfg=CFG, engine_cfg=small, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    out = engine.generate(
+        prompts,
+        SamplingParams(max_new_tokens=8, do_sample=False, eos_id=-1),
+        enable_overlap=overlap,
+    )
+    for p, o in zip(prompts, out):
+        assert o == {tuple(k): v for k, v in
+                     [(tuple(pp), oracle[tuple(pp)]) for pp in prompts]}[tuple(p)]
+    sched = engine.scheduler
+    free = sched.token_pool.available_size()
+    cached = sched.tree.total_cached_tokens()
+    assert free + cached == small.max_total_tokens
+
+
+def test_static_batching(engine, prompts, oracle):
+    out = engine.scheduler.run_batch_static(
+        prompts, SamplingParams(max_new_tokens=8, do_sample=False, eos_id=-1)
+    )
+    for p, o in zip(prompts, out):
+        assert o == oracle[tuple(p)]
+
+
+def test_sampled_decode_reproducible(engine, prompts):
+    sp = SamplingParams(
+        max_new_tokens=8, do_sample=True, temperature=0.8, top_k=20, top_p=0.9,
+        eos_id=-1,
+    )
+    out1 = engine.generate(prompts[:3], sp)
+    assert all(len(o) == 8 for o in out1)
+    _assert_pools_conserved(engine)

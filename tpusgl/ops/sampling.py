@@ -85,16 +85,18 @@ def sample_tokens(
     k_pos = jnp.clip(samp.top_k, 1, k_cap) - 1  # [B]
     kth_val = jnp.take_along_axis(top_vals, k_pos[:, None], axis=1)  # [B, 1]
     kth_val = jnp.where((samp.top_k > 0)[:, None], kth_val, NEG_INF)
+    k_filtered = jnp.where(top_vals >= kth_val, top_vals, NEG_INF)
 
-    # Per-request top-p: keep the inclusive-cumsum prefix, always >= 1 token
-    # (sample.py:76-86: cutoff = cumsum > top_p with cutoff[0] forced False).
-    probs = jax.nn.softmax(top_vals, axis=-1)
+    # Per-request top-p over the top-k-renormalized distribution, keeping the
+    # inclusive-cumsum prefix and always >= 1 token (sample.py:65-86: top-k
+    # filter first, then cutoff = cumsum > top_p with cutoff[0] forced False).
+    probs = jax.nn.softmax(k_filtered, axis=-1)
     cumsum = jnp.cumsum(probs, axis=-1)
     keep = (cumsum <= samp.top_p[:, None]) | (
         jnp.arange(k_cap, dtype=jnp.int32)[None, :] == 0
     )
     last_kept = jnp.sum(keep.astype(jnp.int32), axis=-1) - 1  # [B]
-    pth_val = jnp.take_along_axis(top_vals, last_kept[:, None], axis=1)
+    pth_val = jnp.take_along_axis(k_filtered, last_kept[:, None], axis=1)
     pth_val = jnp.where((samp.top_p < 1.0)[:, None], pth_val, NEG_INF)
 
     threshold = jnp.maximum(kth_val, pth_val)

@@ -1,0 +1,116 @@
+"""Device mesh + sharding specs.
+
+TPU-native replacement for the reference's dead NCCL TP runtime
+(/root/reference/tp_runtime.py:10-51): no explicit collectives — a
+(dp, tp) `jax.sharding.Mesh` plus NamedSharding annotations on weights and
+KV pages, and XLA/GSPMD inserts and schedules the all-reduces (overlapping
+them with compute, which also subsumes part of overlap_worker.py's job).
+
+Layout (Megatron-style, SURVEY.md §7):
+- qkv / gate_up: column-sharded on the fused output axis,
+- o / down: row-sharded on the input axis (XLA adds the tp all-reduce),
+- embedding & lm head: vocab-sharded,
+- KV pool: sharded on the kv-head axis (each tp shard owns whole heads),
+- page table / last_token / presence / host-derived batch arrays: replicated
+  (the control plane is deterministic and identical on every host).
+
+dp is data parallelism over independent batch rows; weights and KV are
+replicated across dp (full dp serving uses one engine per replica; the
+in-graph dp axis exists for the multi-chip dry run and batch scaling).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpusgl.config import ModelConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    assert dp * tp <= len(devices), (dp, tp, len(devices))
+    arr = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+    """Sharding pytree matching the params structure."""
+    def lin_shard(col: bool):
+        # col: shard output axis; row: shard input axis.
+        def shard_leaf(path_leaf_name, leaf):
+            nd = leaf.ndim
+            if path_leaf_name == "w":
+                if nd == 3:  # [L, in, out]
+                    return _ns(mesh, None, None, "tp") if col else _ns(
+                        mesh, None, "tp", None
+                    )
+                return _ns(mesh, None, "tp") if col else _ns(mesh, "tp", None)
+            if path_leaf_name == "b":
+                return _ns(mesh, None, "tp") if col else _ns(mesh, None)
+            if path_leaf_name == "s":  # int8 scales [L, out]
+                return _ns(mesh, None, "tp") if col else _ns(mesh, None)
+            if path_leaf_name == "gs":  # int4 scales [L, in//G, out]
+                return _ns(mesh, None, None, "tp") if col else _ns(
+                    mesh, None, "tp", None
+                )
+            return _ns(mesh)
+        return shard_leaf
+
+    def map_linear(lin: Dict[str, Any], col: bool):
+        f = lin_shard(col)
+        return {k: f(k, v) for k, v in lin.items()}
+
+    layers = params["layers"]
+    out: Dict[str, Any] = {
+        "embed": _ns(mesh, "tp", None),
+        "final_norm": _ns(mesh),
+        "rope_cos": _ns(mesh),
+        "rope_sin": _ns(mesh),
+        "layers": {
+            "input_norm": _ns(mesh),
+            "post_norm": _ns(mesh),
+            "qkv": map_linear(layers["qkv"], col=True),
+            "o": map_linear(layers["o"], col=False),
+            "gate_up": map_linear(layers["gate_up"], col=True),
+            "down": map_linear(layers["down"], col=False),
+        },
+    }
+    if "lm_head" in params:
+        out["lm_head"] = _ns(mesh, "tp", None)
+    return out
+
+
+def state_shardings(mesh: Mesh, state) -> Any:
+    """EngineState sharding: KV pool split on the kv-head axis over tp."""
+    from tpusgl.runtime.state import EngineState
+
+    kv = _ns(mesh, None, None, "tp", None)
+    return EngineState(
+        kv_k=kv,
+        kv_v=kv,
+        kv_k_scale=None if state.kv_k_scale is None else _ns(mesh, None, None, "tp"),
+        kv_v_scale=None if state.kv_v_scale is None else _ns(mesh, None, None, "tp"),
+        req_to_token=_ns(mesh),
+        last_token=_ns(mesh),
+        presence=_ns(mesh),
+        rng=_ns(mesh),
+    )
+
+
+def shard_params(cfg: ModelConfig, params, mesh: Mesh):
+    shardings = param_shardings(cfg, params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_state(state, mesh: Mesh):
+    shardings = state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, shardings)

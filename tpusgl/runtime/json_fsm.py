@@ -1,32 +1,28 @@
 """Native JSON-schema constrained-decoding automaton.
 
-The reference uses lm-format-enforcer's TokenEnforcer + JsonSchemaParser
-(/root/reference/constraints.py:19-42); that dependency is unavailable here,
-so this module implements the same idea from scratch:
+The reference delegates to lm-format-enforcer's TokenEnforcer
+(/root/reference/constraints.py:19-42); that package is unavailable here, so
+the same capability is implemented from scratch:
 
-1. a character-level pushdown parser for schema-constrained JSON (a stack of
-   frames: object / array / string / number / literal), where each state
-   exposes the set of allowed next characters,
+1. a character-level pushdown parser for schema-constrained JSON — an
+   immutable stack of frames, each exposing its allowed next characters,
 2. a prefix trie over the tokenizer vocabulary,
-3. allowed-token computation by walking the trie against the parser
-   (a token is allowed iff every one of its characters is accepted), with a
-   per-parser-state memo so each distinct automaton state pays the walk once.
+3. allowed-token sets computed by walking the trie against the parser (a
+   token is allowed iff all its characters are accepted), memoized per
+   distinct parser state so recurring states (e.g. "inside a free string")
+   pay the walk once.
 
-Deliberate simplifications vs full JSON Schema (documented subset):
-- canonical JSON is emitted: no whitespace between tokens,
-- object properties appear in schema `properties` order and all listed
-  properties are emitted (the reference's enforcer allows arbitrary subsets
-  and orders),
+Deliberate subset vs full JSON Schema (canonical-output enforcement):
+- no whitespace between JSON tokens,
+- object properties are emitted in schema `properties` order, all present,
 - supported keywords: type (object/array/string/integer/number/boolean/null),
-  properties, items, enum, const, minItems/maxItems; anything else means
-  "any JSON value".
-
-The scheduler turns allowed-token sets into additive device masks
-(tpusgl/runtime/scheduler.py), fused into on-device sampling.
+  properties, items, enum, const, minItems/maxItems; anything else (or a
+  missing type) means "any JSON value".
 """
 
 from __future__ import annotations
 
+import json
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -34,350 +30,443 @@ import numpy as np
 from tpusgl.runtime.constraints import ConstraintState
 
 _DIGITS = "0123456789"
-# Characters allowed inside a JSON string (unescaped) — printable minus " and \.
 _STRING_CHARS = "".join(
-    chr(c) for c in range(0x20, 0x7F) if chr(c) not in ('"', "\\")
+    chr(c) for c in range(0x20, 0x10000) if chr(c) not in ('"', "\\")
 )
+# For allowed-char sets we only enumerate ASCII; non-ASCII is accepted via the
+# `_STR_ANY` wildcard marker handled by the trie walk.
+_STRING_ASCII = "".join(chr(c) for c in range(0x20, 0x7F) if chr(c) not in ('"', "\\"))
 _ESCAPABLE = '"\\/bfnrt'
 
-ANY_SCHEMA: Dict[str, Any] = {}
-
-
-# --------------------------------------------------------------------- frames
-# Each frame is an immutable tuple: (kind, *state). The parser state is a
-# tuple of frames (a stack); advancing a character returns a new stack or
-# None if the character is illegal.
-
-
-def _value_frames(schema: Dict[str, Any]) -> List[Tuple]:
-    """Frames to push (top last) for a value conforming to `schema`."""
-    if not isinstance(schema, dict):
-        schema = ANY_SCHEMA
-    if "const" in schema:
-        import json as _json
-
-        return [("lit", _json.dumps(schema["const"]))]
-    if "enum" in schema:
-        import json as _json
-
-        options = tuple(_json.dumps(v) for v in schema["enum"])
-        return [("enum", options, "")]
-    t = schema.get("type")
-    if t == "object" or (t is None and "properties" in schema):
-        props = tuple(
-            (k, _freeze(v)) for k, v in (schema.get("properties") or {}).items()
-        )
-        return [("obj_open", props)]
-    if t == "array":
-        items = _freeze(schema.get("items", ANY_SCHEMA))
-        lo = int(schema.get("minItems", 0))
-        hi = schema.get("maxItems")
-        return [("arr_open", items, lo, None if hi is None else int(hi))]
-    if t == "string":
-        return [("str_open",)]
-    if t == "integer":
-        return [("num_start", True)]
-    if t == "number":
-        return [("num_start", False)]
-    if t == "boolean":
-        return [("enum", ("true", "false"), "")]
-    if t == "null":
-        return [("lit", "null")]
-    # any value
-    return [("any_value",)]
+ANY = ()  # frozen "any value" schema
 
 
 def _freeze(obj):
-    """Make a schema hashable for frame tuples."""
     if isinstance(obj, dict):
-        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+        # preserves insertion order — object properties are emitted in
+        # schema `properties` order
+        return tuple((k, _freeze(v)) for k, v in obj.items())
     if isinstance(obj, list):
-        return tuple(_freeze(v) for v in obj)
+        return tuple(("#", _freeze(v)) for v in obj)
     return obj
 
 
-def _thaw(frozen) -> Any:
-    if isinstance(frozen, tuple):
-        if all(
-            isinstance(kv, tuple) and len(kv) == 2 and isinstance(kv[0], str)
-            for kv in frozen
-        ):
-            return {k: _thaw(v) for k, v in frozen}
-        return [_thaw(v) for v in frozen]
-    return frozen
+def _thaw(fz):
+    if isinstance(fz, tuple):
+        if all(isinstance(kv, tuple) and len(kv) == 2 for kv in fz):
+            if any(kv[0] == "#" for kv in fz):
+                return [_thaw(v) for _, v in fz]
+            return {k: _thaw(v) for k, v in fz}
+        return []
+    return fz
 
 
-class _Parser:
-    """Immutable character-level parser state: a stack of frames."""
+# A parser state is a tuple of frames, top of stack LAST. Frame kinds:
+#   ("lit", s)                     emit literal string s, then pop
+#   ("val", frozen_schema)         a value; expands lazily on first char
+#   ("str_body",)                  inside '"..."'; '"' pops
+#   ("str_escape",)                after '\'; escapable char pops to str_body
+#   ("num", text, int_only)        number in progress (may end implicitly)
+#   ("enum", options, acc)         one of several literal strings
+#   ("obj_after", props, idx)      after a property value: ',' next prop / '}'
+#   ("arr_first", items, lo, hi)   after '[': ']' or first item
+#   ("arr_after", items, n, lo, hi) after an item: ',' next / ']'
+#   ("anyobj_first",)              after '{' of a free object
+#   ("anyobj_key",)                expect ':' after a free key
+#   ("anyobj_after",)              after a free value: ',' / '}'
 
-    __slots__ = ("stack",)
+Stack = Tuple[Tuple, ...]
 
-    def __init__(self, stack: Tuple[Tuple, ...]):
-        self.stack = stack
 
-    @classmethod
-    def for_schema(cls, schema: Dict[str, Any]) -> "_Parser":
-        return cls(tuple(_value_frames(schema)))
+def _val_first_chars(schema) -> str:
+    """First characters a value conforming to `schema` may start with."""
+    s = _thaw(schema) if isinstance(schema, tuple) else schema
+    if not isinstance(s, dict) or not s:
+        return '{["-0123456789tfn'
+    if "const" in s:
+        return json.dumps(s["const"])[0]
+    if "enum" in s:
+        return "".join({json.dumps(v)[0] for v in s["enum"]})
+    t = s.get("type")
+    if t == "object" or (t is None and "properties" in s):
+        return "{"
+    if t == "array":
+        return "["
+    if t == "string":
+        return '"'
+    if t in ("integer", "number"):
+        return "-" + _DIGITS
+    if t == "boolean":
+        return "tf"
+    if t == "null":
+        return "n"
+    return '{["-0123456789tfn'
 
-    def signature(self) -> Tuple:
-        return self.stack
 
-    def can_end(self) -> bool:
-        """True when the JSON document is complete."""
-        stack = self.stack
-        # A trailing number frame can be complete while still extendable.
-        while stack:
-            top = stack[-1]
-            if top[0] == "num" and _num_can_end(top):
-                stack = stack[:-1]
-                continue
-            return False
-        return True
-
-    # -- character transitions ------------------------------------------------
-
-    def allowed_chars(self) -> str:
-        if not self.stack:
-            return ""
-        chars = set(_frame_allowed(self.stack[-1]))
-        # A complete number can also be terminated by whatever the frame
-        # below allows next.
-        top = self.stack[-1]
-        if top[0] == "num" and _num_can_end(top) and len(self.stack) > 1:
-            chars |= set(_Parser(self.stack[:-1]).allowed_chars())
-        return "".join(chars)
-
-    def advance(self, c: str) -> Optional["_Parser"]:
-        if not self.stack:
+def _expand_val(schema, c: str, below: Stack) -> Optional[Stack]:
+    """Expand a ("val", schema) frame on first char `c`; returns new stack."""
+    s = _thaw(schema) if isinstance(schema, tuple) else schema
+    if not isinstance(s, dict):
+        s = {}
+    if "const" in s:
+        return _step(below + (("lit", json.dumps(s["const"])),), c)
+    if "enum" in s:
+        opts = tuple(sorted(json.dumps(v) for v in s["enum"]))
+        return _step(below + (("enum", opts, ""),), c)
+    t = s.get("type")
+    if t == "object" or (t is None and "properties" in s):
+        if c != "{":
             return None
-        new_stack = _advance_stack(self.stack, c)
-        return _Parser(new_stack) if new_stack is not None else None
+        props = tuple((k, _freeze(v)) for k, v in (s.get("properties") or {}).items())
+        if not props:
+            return below + (("lit", "}"),)
+        key, sch = props[0]
+        return below + (
+            ("obj_after", props, 0),
+            ("val", sch),
+            ("lit", json.dumps(key) + ":"),
+        )
+    if t == "array":
+        if c != "[":
+            return None
+        items = _freeze(s.get("items", {}))
+        lo = int(s.get("minItems", 0))
+        hi = s.get("maxItems")
+        return below + (("arr_first", items, lo, None if hi is None else int(hi)),)
+    if t == "string":
+        if c != '"':
+            return None
+        return below + (("str_body",),)
+    if t in ("integer", "number"):
+        int_only = t == "integer"
+        if c == "-" or c in _DIGITS:
+            return below + (("num", c, int_only),)
+        return None
+    if t == "boolean":
+        return _step(below + (("enum", ("false", "true"), ""),), c)
+    if t == "null":
+        return _step(below + (("lit", "null"),), c)
+    # any value
+    if c == "{":
+        return below + (("anyobj_first",),)
+    if c == "[":
+        return below + (("arr_first", ANY, 0, None),)
+    if c == '"':
+        return below + (("str_body",),)
+    if c == "-" or c in _DIGITS:
+        return below + (("num", c, False),)
+    if c == "t":
+        return below + (("lit", "rue"),)
+    if c == "f":
+        return below + (("lit", "alse"),)
+    if c == "n":
+        return below + (("lit", "ull"),)
+    return None
 
 
-def _num_can_end(frame: Tuple) -> bool:
-    # ("num", text, integer_only)
-    text = frame[1]
-    if not text or text in ("-", "-0") and False:
-        return False
-    if text[-1] in "+-.eE":
-        return False
-    if text == "-":
-        return False
-    return True
+def _num_complete(text: str) -> bool:
+    return bool(text) and text[-1] in _DIGITS
+
+
+def _num_next_chars(text: str, int_only: bool) -> str:
+    last = text[-1]
+    if last in "eE":
+        return "+-" + _DIGITS
+    if last in "+-.":
+        return _DIGITS
+    # last is a digit
+    if "e" in text or "E" in text:
+        return _DIGITS  # exponent digits
+    int_part = text.split(".")[0]
+    leading_zero = int_part.lstrip("-") == "0" and "." not in text
+    out = "" if leading_zero else _DIGITS
+    if "." in text:
+        out = _DIGITS
+    if not int_only:
+        if "." not in text:
+            out += "."
+        out += "eE"
+    return out
 
 
 def _frame_allowed(frame: Tuple) -> str:
     kind = frame[0]
     if kind == "lit":
-        return frame[1][0] if frame[1] else ""
-    if kind == "enum":
-        options, acc = frame[1], frame[2]
-        nxt = set()
-        for opt in options:
-            if opt.startswith(acc) and len(opt) > len(acc):
-                nxt.add(opt[len(acc)])
-        return "".join(nxt)
-    if kind == "any_value":
-        return '{["0123456789-tfn'
-    if kind == "obj_open":
-        return "{"
-    if kind == "arr_open":
-        return "["
-    if kind == "str_open":
-        return '"'
+        return frame[1][0]
+    if kind == "val":
+        return _val_first_chars(frame[1])
     if kind == "str_body":
-        return _STRING_CHARS + '"' + "\\"
+        return _STRING_ASCII + '"\\'
     if kind == "str_escape":
         return _ESCAPABLE
-    if kind == "num_start":
-        return "-" + _DIGITS
     if kind == "num":
-        text, integer_only = frame[1], frame[2]
-        allowed = ""
-        last = text[-1]
-        if last == "-":
-            return _DIGITS
-        if last in "+eE":
-            return _DIGITS
-        if last == ".":
-            return _DIGITS
-        if last in _DIGITS:
-            allowed = _DIGITS
-            if not integer_only and "." not in text and "e" not in text and "E" not in text:
-                allowed += "."
-            if not integer_only and "e" not in text and "E" not in text:
-                allowed += "eE"
-            # leading-zero rule: "0" or "-0" cannot be extended with digits
-            digits_part = text.lstrip("-")
-            if digits_part == "0":
-                allowed = allowed.replace(_DIGITS, "")
-                if not integer_only and "." not in text:
-                    allowed += "."
-                if not integer_only and "e" not in text and "E" not in text:
-                    allowed += "eE"
-            return allowed
-        return allowed
-    if kind == "obj_sep":
-        return ","  # next property
-    if kind == "arr_sep":
-        return ",]" if frame[3] else ","
+        return _num_next_chars(frame[1], frame[2])
+    if kind == "enum":
+        opts, acc = frame[1], frame[2]
+        return "".join({o[len(acc)] for o in opts if o.startswith(acc) and len(o) > len(acc)})
+    if kind == "obj_after":
+        props, idx = frame[1], frame[2]
+        return "," if idx + 1 < len(props) else "}"
+    if kind == "arr_first":
+        _, items, lo, hi = frame
+        out = _val_first_chars(items) if hi != 0 else ""
+        if lo == 0:
+            out += "]"
+        return out
+    if kind == "arr_after":
+        _, items, n, lo, hi = frame
+        out = ""
+        if hi is None or n < hi:
+            out += ","
+        if n >= lo:
+            out += "]"
+        return out
+    if kind == "anyobj_first":
+        return '"}'
+    if kind == "anyobj_key":
+        return ":"
+    if kind == "anyobj_after":
+        return ",}"
     raise AssertionError(f"unknown frame {kind}")
 
 
-def _advance_stack(stack: Tuple[Tuple, ...], c: str) -> Optional[Tuple[Tuple, ...]]:
+def _step(stack: Stack, c: str) -> Optional[Stack]:
+    if not stack:
+        return None
     top = stack[-1]
-    rest = stack[:-1]
+    below = stack[:-1]
     kind = top[0]
 
     if kind == "lit":
         text = top[1]
         if not text.startswith(c):
             return None
-        remaining = text[1:]
-        return rest + (("lit", remaining),) if remaining else _pop(rest)
+        return below if len(text) == 1 else below + (("lit", text[1:]),)
 
-    if kind == "enum":
-        options, acc = top[1], top[2]
-        new_acc = acc + c
-        viable = tuple(o for o in options if o.startswith(new_acc))
-        if not viable:
-            return None
-        if any(o == new_acc for o in viable) and len(viable) == 1:
-            return _pop(rest)
-        if any(o == new_acc for o in viable):
-            # exact match but longer options exist — JSON scalars are
-            # prefix-free in practice; treat as complete.
-            return _pop(rest)
-        return rest + (("enum", options, new_acc),)
-
-    if kind == "any_value":
-        if c == "{":
-            return rest + (("obj_body_any",),) if False else _any_obj(rest)
-        if c == "[":
-            return rest + (("arr_open", _freeze(ANY_SCHEMA), 0, None),) and _advance_stack(
-                rest + (("arr_open", _freeze(ANY_SCHEMA), 0, None),), c
-            )
-        if c == '"':
-            return rest + (("str_body", ""),)
-        if c in "-0123456789":
-            return rest + (("num", c, False),)
-        if c == "t":
-            return rest + (("lit", "rue"),)
-        if c == "f":
-            return rest + (("lit", "alse"),)
-        if c == "n":
-            return rest + (("lit", "ull"),)
-        return None
-
-    if kind == "obj_open":
-        if c != "{":
-            return None
-        props = top[1]
-        if not props:
-            return rest + (("lit", "}"),)
-        key, schema = props[0]
-        frames: Tuple[Tuple, ...] = (("obj_props", props, 0),)
-        import json as _json
-
-        frames = frames + (("lit", _json.dumps(key) + ":"),)
-        return rest + frames
-
-    if kind == "obj_props":
-        # only reached via pop-back; handled in _pop
-        return None
-
-    if kind == "arr_open":
-        if c != "[":
-            return None
-        _, items, lo, hi = top
-        if hi == 0 or (hi is None and lo == 0):
-            if lo == 0:
-                # allow immediate ] or first item
-                return rest + (("arr_body", items, 0, lo, hi),)
-        return rest + (("arr_body", items, 0, lo, hi),)
-
-    if kind == "arr_body":
-        _, items, count, lo, hi = top
-        if c == "]" and count >= lo:
-            return _pop(rest)
-        # first item begins
-        item_frames = tuple(_value_frames(_thaw(items)))
-        ns = rest + (("arr_sep_state", items, count + 1, lo, hi),) + item_frames
-        return _advance_stack(ns, c)
-
-    if kind == "arr_sep_state":
-        _, items, count, lo, hi = top
-        if c == "]" and count >= lo:
-            return _pop(rest)
-        if c == "," and (hi is None or count < hi):
-            item_frames = tuple(_value_frames(_thaw(items)))
-            return rest + (("arr_sep_state", items, count + 1, lo, hi),) + item_frames
-        return None
-
-    if kind == "str_open":
-        if c != '"':
-            return None
-        return rest + (("str_body", ""),)
+    if kind == "val":
+        return _expand_val(top[1], c, below)
 
     if kind == "str_body":
         if c == '"':
-            return _pop(rest)
+            return below
         if c == "\\":
-            return rest + (("str_escape",), )
-        if c in _STRING_CHARS or ord(c) > 0x7F:
-            return stack  # stay in string body
+            return stack + (("str_escape",),)
+        if c in _STRING_CHARS:
+            return stack
         return None
 
     if kind == "str_escape":
-        if c in _ESCAPABLE:
-            return rest  # back to enclosing str_body? rest top should be str_body
-        return None
-
-    if kind == "num_start":
-        integer_only = top[1]
-        if c == "-" or c in _DIGITS:
-            return rest + (("num", c, integer_only),)
-        return None
+        return below if c in _ESCAPABLE else None  # below top is str_body
 
     if kind == "num":
-        text, integer_only = top[1], top[2]
-        if c in _frame_allowed(top):
-            return rest + (("num", text + c, integer_only),)
-        # number may be complete; let the frame below consume c
-        if _num_can_end(top) and rest:
-            return _advance_stack(rest, c)
+        text, int_only = top[1], top[2]
+        if c in _num_next_chars(text, int_only):
+            return below + (("num", text + c, int_only),)
+        if _num_complete(text):
+            return _step(below, c)  # number ends; frame below consumes c
         return None
 
-    if kind == "obj_sep":
-        props, idx = top[1], top[2]
-        if c == ",":
-            import json as _json
+    if kind == "enum":
+        opts, acc = top[1], top[2]
+        new_acc = acc + c
+        viable = [o for o in opts if o.startswith(new_acc)]
+        if not viable:
+            return None
+        if new_acc in viable:
+            return below  # JSON scalar literals are prefix-free
+        return below + (("enum", opts, new_acc),)
 
-            key, schema = props[idx]
-            return rest + (
-                ("obj_props", props, idx),
-                ("lit", _json.dumps(key) + ":"),
+    if kind == "obj_after":
+        props, idx = top[1], top[2]
+        if c == "," and idx + 1 < len(props):
+            key, sch = props[idx + 1]
+            return below + (
+                ("obj_after", props, idx + 1),
+                ("val", sch),
+                ("lit", json.dumps(key) + ":"),
             )
+        if c == "}" and idx + 1 >= len(props):
+            return below
+        return None
+
+    if kind == "arr_first":
+        _, items, lo, hi = top
+        if c == "]" and lo == 0:
+            return below
+        if hi == 0:
+            return None
+        ns = below + (("arr_after", items, 1, lo, hi), ("val", items))
+        return _step(ns, c)
+
+    if kind == "arr_after":
+        _, items, n, lo, hi = top
+        if c == "]" and n >= lo:
+            return below
+        if c == "," and (hi is None or n < hi):
+            return below + (("arr_after", items, n + 1, lo, hi), ("val", items))
+        return None
+
+    if kind == "anyobj_first":
+        if c == "}":
+            return below
+        if c == '"':
+            return below + (("anyobj_key",), ("str_body",))
+        return None
+
+    if kind == "anyobj_key":
+        if c == ":":
+            return below + (("anyobj_after",), ("val", ANY))
+        return None
+
+    if kind == "anyobj_after":
+        if c == "}":
+            return below
+        if c == ",":
+            # next free key: opening quote, then the key string
+            return below + (("anyobj_key",), ("str_body",), ("lit", '"'))
         return None
 
     raise AssertionError(f"unknown frame {kind}")
 
 
-def _any_obj(rest: Tuple[Tuple, ...]) -> Tuple[Tuple, ...]:
-    """'{' seen in any-value context: free-form object — key, colon, value,
-    comma... Model as: lit '}' | string key. Simplified to an any-object frame
-    machine using enum of closing or a key string."""
-    return rest + (("any_obj_key_or_end",),)
+def _allowed_chars(stack: Stack) -> str:
+    if not stack:
+        return ""
+    top = stack[-1]
+    chars = _frame_allowed(top)
+    if top[0] == "num" and _num_complete(top[1]):
+        chars += _allowed_chars(stack[:-1])
+    return chars
 
 
-def _pop(stack: Tuple[Tuple, ...]) -> Tuple[Tuple, ...]:
-    """A value finished; resolve bookkeeping frames that expect a completion."""
+def _can_end(stack: Stack) -> bool:
     while stack:
         top = stack[-1]
-        if top[0] == "obj_props":
-            props, idx = top[1], top[2]
-            if idx + 1 < len(props):
-                return stack[:-1] + (("obj_sep", props, idx + 1),)
-            return stack[:-1] + (("lit", "}"),)
+        if top[0] == "num" and _num_complete(top[1]):
+            stack = stack[:-1]
+            continue
+        return False
+    return True
+
+
+# ------------------------------------------------------------------ tokenizer
+
+
+class TokenTrie:
+    """Prefix trie over decoded token strings (built once per tokenizer)."""
+
+    __slots__ = ("children", "token_ids")
+
+    def __init__(self):
+        self.children: Dict[str, TokenTrie] = {}
+        self.token_ids: List[int] = []
+
+    @classmethod
+    def from_tokenizer(cls, tokenizer) -> "TokenTrie":
+        root = cls()
+        vocab_size = getattr(tokenizer, "vocab_size", None) or len(tokenizer)
+        special = set(getattr(tokenizer, "all_special_ids", []) or [])
+        for tid in range(vocab_size):
+            if tid in special:
+                continue
+            try:
+                s = tokenizer.decode([tid])
+            except Exception:
+                continue
+            if not s or "�" in s:
+                continue
+            node = root
+            for ch in s:
+                nxt = node.children.get(ch)
+                if nxt is None:
+                    nxt = node.children[ch] = cls()
+                node = nxt
+            node.token_ids.append(tid)
+        return root
+
+
+class JsonConstraintState(ConstraintState):
+    """Token-level mask provider for one request (reference
+    constraints.py:19-42 by way of lm-format-enforcer, re-implemented)."""
+
+    _trie_cache: Dict[int, TokenTrie] = {}
+
+    def __init__(self, schema: Dict[str, Any], tokenizer):
+        self.tokenizer = tokenizer
+        self.eos_id = getattr(tokenizer, "eos_token_id", None)
+        key = id(tokenizer)
+        trie = self._trie_cache.get(key)
+        if trie is None:
+            trie = self._trie_cache[key] = TokenTrie.from_tokenizer(tokenizer)
+        self.trie = trie
+        self.root_stack: Stack = (("val", _freeze(schema or {})),)
+        # prefix cache: committed output ids -> parser stack
+        self._prefix_ids: Tuple[int, ...] = ()
+        self._prefix_stack: Optional[Stack] = self.root_stack
+        self._mask_cache: Dict[Stack, np.ndarray] = {}
+
+    def reset(self) -> None:
+        self._prefix_ids = ()
+        self._prefix_stack = self.root_stack
+
+    def _advance_text(self, stack: Optional[Stack], text: str) -> Optional[Stack]:
+        for ch in text:
+            if stack is None:
+                return None
+            stack = _step(stack, ch)
         return stack
-    return stack
+
+    def _stack_for(self, output_ids: Sequence[int]) -> Optional[Stack]:
+        ids = tuple(int(t) for t in output_ids)
+        if ids[: len(self._prefix_ids)] == self._prefix_ids:
+            new_ids = ids[len(self._prefix_ids) :]
+        else:
+            self.reset()
+            new_ids = ids
+        stack = self._prefix_stack
+        if new_ids:
+            text = self.tokenizer.decode(list(new_ids))
+            prev = self.tokenizer.decode(list(self._prefix_ids)) if self._prefix_ids else ""
+            full = self.tokenizer.decode(list(ids))
+            # decode suffix robustly (BPE merges may change boundaries)
+            suffix = full[len(prev) :] if full.startswith(prev) else text
+            stack = self._advance_text(stack, suffix)
+        self._prefix_ids = ids
+        self._prefix_stack = stack
+        return stack
+
+    def _walk(self, node: TokenTrie, stack: Stack, out: List[int]) -> None:
+        out.extend(node.token_ids)
+        if not node.children:
+            return
+        allowed = set(_allowed_chars(stack))
+        str_mode = stack and stack[-1][0] == "str_body"
+        for ch, child in node.children.items():
+            ok = ch in allowed or (str_mode and ch in _STRING_CHARS)
+            if not ok:
+                continue
+            nxt = _step(stack, ch)
+            if nxt is not None:
+                self._walk(child, nxt, out)
+
+    def allowed_tokens(self, output_ids: Sequence[int]) -> np.ndarray:
+        stack = self._stack_for(output_ids)
+        if stack is None:
+            return np.empty((0,), np.int64)
+        cached = self._mask_cache.get(stack)
+        if cached is not None:
+            return cached
+        out: List[int] = []
+        # Root token_ids are empty-string tokens — never allowed mid-document.
+        allowed = set(_allowed_chars(stack))
+        str_mode = stack and stack[-1][0] == "str_body"
+        for ch, child in self.trie.children.items():
+            if ch in allowed or (str_mode and ch in _STRING_CHARS):
+                nxt = _step(stack, ch)
+                if nxt is not None:
+                    self._walk(child, nxt, out)
+        if _can_end(stack) and self.eos_id is not None:
+            out.append(int(self.eos_id))
+        arr = np.asarray(sorted(set(out)), np.int64)
+        self._mask_cache[stack] = arr
+        return arr

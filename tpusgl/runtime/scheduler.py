@@ -176,9 +176,15 @@ class Scheduler:
                 # Constraint masks must see committed tokens: drain the
                 # pipeline first (depth drops to 0 for constrained batches —
                 # vs the reference which disables constraints under overlap,
-                # scheduler.py:632-637).
+                # scheduler.py:632-637), then re-select since the commit may
+                # have finished or re-queued requests.
                 self._commit(pending)
                 pending = None
+                batch, mode = self._select_batch()
+                if mode == "error":
+                    # all finished -> loop top breaks; genuine OOM -> the
+                    # next iteration raises through the normal error path
+                    continue
 
             submitted: Optional[_Submission] = None
             if batch:
