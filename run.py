@@ -1,0 +1,89 @@
+"""Interactive single-prompt generation CLI (reference run.py:11-68).
+
+Without network access there are no pretrained checkpoints; pass a local HF
+checkpoint directory as --model-id to get real text, or a preset name
+(e.g. qwen2.5-0.5b) to exercise the engine with random weights (token ids in,
+token ids out)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-id", default="qwen2.5-0.5b")
+    p.add_argument("--prompt", default="Give me a short introduction to large language models.")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--do-sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.7)
+    p.add_argument("--top-k", type=int, default=20)
+    p.add_argument("--top-p", type=float, default=0.9)
+    p.add_argument("--weight-dtype", default="bf16", choices=["bf16", "int8", "int4"])
+    p.add_argument("--enable-overlap", action="store_true")
+    p.add_argument("--json-schema", default=None, help="path to a JSON schema file")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from tpusgl.config import EngineConfig, QuantConfig
+    from tpusgl.runtime.engine import Engine
+    from tpusgl.runtime.sampling_params import SamplingParams
+
+    engine = Engine(
+        args.model_id,
+        engine_cfg=EngineConfig.from_env(
+            quant=QuantConfig(weight_dtype=args.weight_dtype),
+            enable_overlap=args.enable_overlap,
+        ),
+    )
+
+    schema = None
+    if args.json_schema:
+        import json
+
+        with open(args.json_schema) as f:
+            schema = json.load(f)
+
+    sp = SamplingParams(
+        max_new_tokens=args.max_new_tokens,
+        do_sample=args.do_sample,
+        temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
+        json_schema=schema,
+    )
+
+    if engine.tokenizer is not None:
+        tmpl = getattr(engine.tokenizer, "apply_chat_template", None)
+        if tmpl is not None:
+            prompt = tmpl(
+                [{"role": "user", "content": args.prompt}],
+                tokenize=False, add_generation_prompt=True,
+            )
+        else:
+            prompt = args.prompt
+        request = prompt
+    else:
+        # no tokenizer: treat the prompt as bytes -> token ids mod vocab
+        request = [b % engine.model_cfg.vocab_size for b in args.prompt.encode()]
+
+    t0 = time.perf_counter()
+    out = engine.generate([request], sp, enable_overlap=args.enable_overlap)[0]
+    dt = time.perf_counter() - t0
+    print(out)
+    n = len(out) if isinstance(out, list) else len(out.split())
+    print(f"latency={dt:.2f}s ({n} units)")
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,22 @@ class Engine:
                     params = quantize_params(params, self.cfg.quant)
         self.params = params
 
+        self.mesh = None
+        if self.cfg.tp > 1 or self.cfg.dp > 1:
+            from tpusgl.parallel.mesh import make_mesh, shard_params
+
+            self.mesh = make_mesh(self.cfg.dp, self.cfg.tp)
+            self.params = params = shard_params(self.model_cfg, params, self.mesh)
+
         self.steps = StepFunctions(
             params, self.model_cfg, self.cfg,
             attn_impl=attn_impl, sample_k_cap=sample_k_cap,
         )
         state = init_state(self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed)
+        if self.mesh is not None:
+            from tpusgl.parallel.mesh import shard_state
+
+            state = shard_state(state, self.mesh)
         self.scheduler = Scheduler(
             self.steps, state, self.model_cfg, self.cfg, tokenizer=self.tokenizer
         )

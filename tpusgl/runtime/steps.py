@@ -52,7 +52,9 @@ class StepFunctions:
 
     # ------------------------------------------------------------------ decode
 
-    def _build_decode(self, kv_len: int, with_cmask: bool):
+    def make_decode_fn(self, kv_len: int):
+        """The raw (unjitted) decode step — also used by __graft_entry__ for
+        driver compile checks."""
         cfg = self.model_cfg
 
         def decode_step(
@@ -95,7 +97,7 @@ class StepFunctions:
             )
             return new_state, next_ids
 
-        return jax.jit(decode_step, donate_argnums=(1,))
+        return decode_step
 
     def decode_with_kv_len(
         self, kv_len: int, state, req_indices, seq_lens, out_loc, samp, cmask=None
@@ -103,7 +105,7 @@ class StepFunctions:
         key = (int(req_indices.shape[0]), kv_len, cmask is not None)
         fn = self._decode_jit.get(key)
         if fn is None:
-            fn = self._build_decode(kv_len, cmask is not None)
+            fn = jax.jit(self.make_decode_fn(kv_len), donate_argnums=(1,))
             self._decode_jit[key] = fn
         return fn(self.params, state, req_indices, seq_lens, out_loc, samp, cmask)
 
@@ -124,7 +126,8 @@ class StepFunctions:
 
     # ----------------------------------------------------------------- prefill
 
-    def _build_prefill(self, seq_bucket: int, kv_len: int, with_cmask: bool):
+    def make_prefill_fn(self, kv_len: int):
+        """The raw (unjitted) prefill step."""
         cfg = self.model_cfg
 
         def prefill_step(
@@ -176,7 +179,7 @@ class StepFunctions:
             )
             return new_state, next_ids
 
-        return jax.jit(prefill_step, donate_argnums=(1,))
+        return prefill_step
 
     def prefill(
         self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, table_row,
@@ -185,7 +188,7 @@ class StepFunctions:
         key = (seq_bucket, kv_len, cmask is not None)
         fn = self._prefill_jit.get(key)
         if fn is None:
-            fn = self._build_prefill(seq_bucket, kv_len, cmask is not None)
+            fn = jax.jit(self.make_prefill_fn(kv_len), donate_argnums=(1,))
             self._prefill_jit[key] = fn
         return fn(
             self.params, state, req_idx, input_ids, table_row, seq_len,
