@@ -1,0 +1,91 @@
+"""Weight-only quantization: numeric fidelity of the INT8/INT4 reference
+path, loader round-trip, and the PPL-delta machinery (SURVEY.md §4.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusgl.config import ModelConfig
+from tpusgl.eval.ppl import compute_ppl
+from tpusgl.loader.safetensors_loader import quantize_params
+from tpusgl.models import qwen2
+from tpusgl.ops.linear import (
+    apply_linear,
+    dequantize_weight,
+    init_linear,
+    quantize_linear_int4,
+    quantize_linear_int8,
+)
+from tpusgl.config import QuantConfig
+
+CFG = ModelConfig(
+    hidden_size=128, num_attention_heads=4, num_key_value_heads=2,
+    intermediate_size=256, num_hidden_layers=2, vocab_size=256,
+    tie_word_embeddings=True, max_position_embeddings=512, rope_theta=10000.0,
+)
+
+
+def test_int8_roundtrip_error():
+    lin = init_linear(jax.random.PRNGKey(0), None, 256, 128, jnp.float32, bias=False)
+    q = quantize_linear_int8(lin)
+    w = np.asarray(lin["w"])
+    wq = np.asarray(dequantize_weight(q, jnp.float32))
+    # symmetric per-channel int8: max error <= scale/2 per channel
+    scales = np.asarray(q["s"])
+    assert np.all(np.abs(w - wq) <= scales[None, :] * 0.51 + 1e-8)
+
+
+def test_int4_roundtrip_error():
+    lin = init_linear(jax.random.PRNGKey(1), None, 256, 128, jnp.float32, bias=False)
+    q = quantize_linear_int4(lin, group_size=64)
+    w = np.asarray(lin["w"])
+    wq = np.asarray(dequantize_weight(q, jnp.float32))
+    gs = np.asarray(q["gs"])  # [in//G, out]
+    per_elem_scale = np.repeat(gs, 64, axis=0)
+    assert np.all(np.abs(w - wq) <= per_elem_scale * 0.51 + 1e-8)
+
+
+def test_apply_linear_int8_matches_dequant():
+    lin = init_linear(jax.random.PRNGKey(2), 3, 64, 32, jnp.float32, bias=True)
+    q = quantize_linear_int8(lin)
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, 64), jnp.float32)
+    sliced = jax.tree.map(lambda a: a[1], q)
+    y_fused = apply_linear(x, sliced)
+    wq = dequantize_weight(sliced, jnp.float32)
+    y_ref = x @ wq + sliced["b"]
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("wd,tol", [("int8", 0.05), ("int4", 0.5)])
+def test_ppl_delta_small(wd, tol):
+    """PPL-delta machinery: quantized model perplexity on random text stays
+    close to bf16 (the real gates — <=0.1 INT8 / <=0.3 INT4 on a full-size
+    model — run in the benchmark harness)."""
+    params = qwen2.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(0)
+    windows = rng.integers(0, CFG.vocab_size, (4, 64)).astype(np.int32)
+
+    ppl_fp = compute_ppl(params, CFG, windows, batch_size=2)
+    qparams = quantize_params(params, QuantConfig(weight_dtype=wd, group_size=64))
+    ppl_q = compute_ppl(qparams, CFG, windows, batch_size=2)
+    assert abs(ppl_q - ppl_fp) < tol * max(1.0, ppl_fp / 50), (ppl_fp, ppl_q)
+
+
+def test_quantized_engine_generates():
+    from tpusgl.config import EngineConfig
+    from tpusgl.runtime.engine import Engine
+    from tpusgl.runtime.sampling_params import SamplingParams
+
+    params = qwen2.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    qparams = quantize_params(params, QuantConfig(weight_dtype="int8"))
+    ecfg = EngineConfig(
+        max_total_tokens=512, max_requests=4,
+        decode_bs_buckets=(1, 2, 4), prefill_len_buckets=(8, 16, 32),
+        kv_len_bucket=64,
+    )
+    eng = Engine(model_cfg=CFG, engine_cfg=ecfg, params=qparams, dtype=jnp.float32)
+    out = eng.generate(
+        [[1, 2, 3, 4, 5]], SamplingParams(max_new_tokens=6, do_sample=False, eos_id=-1)
+    )[0]
+    assert len(out) == 6

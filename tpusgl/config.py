@@ -217,6 +217,13 @@ class EngineConfig:
     # Overlap schedule (reference overlap_worker.py) — here: async dispatch.
     enable_overlap: bool = False
 
+    # Multi-step decode: run this many decode iterations inside one jitted
+    # lax.scan, amortizing host dispatch over K tokens (the device-side
+    # last_token buffer makes step k+1's input available without the host).
+    # 1 == reference per-step scheduling. Requests past eos/max_new inside a
+    # window are rolled back and their KV slots freed at commit.
+    decode_window: int = 8
+
     @property
     def max_context_len(self) -> int:
         # Reference: token_pool_size // req_pool_size (scheduler.py:43-47).

@@ -147,7 +147,7 @@ def _layer(
     return hidden, hidden, kv_k, kv_v
 
 
-def forward(
+def forward_hidden(
     params: Params,
     cfg: ModelConfig,
     input_ids: jnp.ndarray,  # [B, S] int32
@@ -156,12 +156,12 @@ def forward(
     kv_v: jnp.ndarray,
     attn_impl: Callable = ref_attention,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the decoder stack; returns (last_hidden [B, hidden], kv_k', kv_v').
+    """Run the decoder stack; returns (hidden [B, S, H] after final norm,
+    kv_k', kv_v').
 
     `meta.positions` drives both RoPE and causal masking; padding tokens have
     out_loc 0 (dummy slot) so their KV writes are harmless.
     """
-    B, S = input_ids.shape
     hidden = jnp.take(params["embed"], input_ids, axis=0)
 
     cos = jnp.take(params["rope_cos"], meta.positions, axis=0)  # [B, S, D/2]
@@ -185,9 +185,26 @@ def forward(
     )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    return hidden, kv_k, kv_v
 
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,
+    meta: AttnMeta,
+    kv_k: jnp.ndarray,
+    kv_v: jnp.ndarray,
+    attn_impl: Callable = ref_attention,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Decoder stack + last-real-token gather: (last_hidden [B, H], kv', kv')."""
+    B, S = input_ids.shape
+    hidden, kv_k, kv_v = forward_hidden(
+        params, cfg, input_ids, meta, kv_k, kv_v, attn_impl
+    )
     # Gather each request's last real token (ext_lens - 1, clamped for padding
-    # rows) — avoids the reference's full-vocab matmul over every prefill token.
+    # rows) — avoids the reference's full-vocab matmul over every prefill token
+    # (qwen2.py:31-35 projects all tokens).
     last_idx = jnp.clip(meta.ext_lens - 1, 0, S - 1)  # [B]
     last_hidden = jnp.take_along_axis(
         hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
@@ -196,12 +213,6 @@ def forward(
 
 
 def lm_head_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """[B, hidden] -> [B, vocab] in fp32 (tied embeddings like qwen2.py:31-35)."""
-    w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
-    return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)
-
-
-def all_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Full-sequence logits [B, S, vocab] — used by the PPL harness only."""
+    """[..., hidden] -> [..., vocab] in fp32 (tied embeddings, qwen2.py:31-35)."""
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)

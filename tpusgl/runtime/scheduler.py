@@ -63,8 +63,9 @@ class _Submission:
     mode: str  # "prefill" | "decode"
     requests: List[Request]
     epochs: List[int]
-    next_ids_dev: object  # device array [B_padded]
-    out_loc: np.ndarray  # [B] slots allocated for the new tokens
+    next_ids_dev: object  # device array: [B_padded] or [K, B_padded]
+    out_loc: np.ndarray  # [B] or [B, K] slots allocated for the new tokens
+    window: int = 1  # decode steps folded into this submission
 
 
 class Scheduler:
@@ -409,45 +410,71 @@ class Scheduler:
             out_loc=np.array(out_locs, np.int32),
         )
 
+    def _pick_window(self, batch: List[Request]) -> int:
+        """How many decode steps to fold into one program. Constrained
+        requests need a fresh host mask every token -> 1; otherwise bounded
+        by config, per-request context-row headroom, and free KV slots."""
+        K = self.cfg.decode_window
+        if K <= 1 or any(r.constraint_state is not None for r in batch):
+            return 1
+        for req in batch:
+            K = min(K, self.cfg.max_context_len - req.seq_len)
+        K = min(K, max(1, self.token_pool.available_size() // len(batch)))
+        return max(1, K)
+
     def _run_decode(self, batch: List[Request]) -> _Submission:
-        """One fused decode step for the whole batch
-        (scheduler.py:454-507 + sampling 509-546, now a single program)."""
+        """One fused decode program for the whole batch covering `window`
+        steps (vs the reference's one host round-trip per token,
+        scheduler.py:454-546). Tokens generated past eos/max_new inside the
+        window are rolled back at commit."""
         B = len(batch)
-        slots = self.token_pool.alloc(B)
+        K = self._pick_window(batch)
+        slots = self.token_pool.alloc(B * K)
         if slots is None:
             raise RuntimeError("Failed to allocate KV slots for decode")
+        slots = slots.reshape(B, K)
 
         Bb = pick_bucket(B, self.cfg.decode_bs_buckets)
         R = self.cfg.max_requests  # dummy row index
         req_indices = np.full((Bb,), R, np.int32)
-        seq_lens = np.ones((Bb,), np.int32)
-        out_loc = np.zeros((Bb,), np.int32)
+        seq_lens0 = np.ones((Bb,), np.int32)
+        out_loc = np.zeros((Bb, K), np.int32)
 
         max_len = 0
         for i, req in enumerate(batch):
             assert req.req_pool_idx is not None
-            self.req_pool.req_to_token[req.req_pool_idx, req.seq_len] = slots[i]
-            req.seq_len += 1
+            self.req_pool.req_to_token[
+                req.req_pool_idx, req.seq_len : req.seq_len + K
+            ] = slots[i]
+            req.seq_len += K
             req_indices[i] = req.req_pool_idx
-            seq_lens[i] = req.seq_len
+            seq_lens0[i] = req.seq_len - K + 1  # length incl. first new token
             out_loc[i] = slots[i]
             max_len = max(max_len, req.seq_len)
             req.inflight_steps += 1
 
         kv_len = self._kv_bucket(max_len)
-        cmask = self._constraint_mask(batch, padded=Bb)
-        self.state, next_ids = self.steps.decode_with_kv_len(
-            kv_len, self.state, req_indices, seq_lens, out_loc,
-            self._samp_arrays(batch, padded=Bb), cmask,
-        )
+        samp = self._samp_arrays(batch, padded=Bb)
+        if K == 1:
+            cmask = self._constraint_mask(batch, padded=Bb)
+            self.state, next_ids = self.steps.decode_with_kv_len(
+                kv_len, self.state, req_indices, seq_lens0, out_loc[:, 0],
+                samp, cmask,
+            )
+            next_ids = next_ids[None, :]  # [1, Bb]
+        else:
+            self.state, next_ids = self.steps.decode_multi(
+                kv_len, K, self.state, req_indices, seq_lens0, out_loc, samp
+            )
         self.metrics["decode_steps"] += 1
-        self.metrics["decode_tokens"] += B
+        self.metrics["decode_tokens"] += B * K
         return _Submission(
             mode="decode",
             requests=list(batch),
             epochs=[r.epoch for r in batch],
             next_ids_dev=next_ids,
-            out_loc=np.asarray(slots),
+            out_loc=slots,
+            window=K,
         )
 
     def _kv_bucket(self, max_len: int) -> int:
@@ -499,29 +526,22 @@ class Scheduler:
     # ---------------------------------------------------------------- commit
 
     def _commit(self, sub: _Submission) -> None:
-        """Fetch the step's tokens and update host state — the merge of the
-        reference's _process_results (scheduler.py:548-589) and
-        _process_results_overlap (scheduler.py:700-761)."""
+        """Fetch the submission's tokens and update host state — the merge of
+        the reference's _process_results (scheduler.py:548-589) and
+        _process_results_overlap (scheduler.py:700-761), generalized to
+        decode windows."""
         next_ids = np.asarray(sub.next_ids_dev)  # D2H sync point
-        for i, req in enumerate(sub.requests):
-            if req.epoch != sub.epochs[i]:
-                continue  # submitted before a retraction; discard
-            req.inflight_steps -= 1
 
-            if req.finished:
-                if sub.mode == "decode":
-                    # Over-allocated slot of the speculative extra step
-                    # (scheduler.py:740-746).
-                    self.token_pool.free(sub.out_loc[i : i + 1])
-                continue
-
-            next_id = int(next_ids[i])
-            req.output_ids.append(next_id)
-            req.finished = len(req.output_ids) >= req.max_new_tokens or (
-                req.eos_id != -1 and next_id == req.eos_id
-            )
-
-            if sub.mode == "prefill":
+        if sub.mode == "prefill":
+            for i, req in enumerate(sub.requests):
+                if req.epoch != sub.epochs[i]:
+                    continue  # submitted before a retraction; discard
+                req.inflight_steps -= 1
+                next_id = int(next_ids[i])
+                req.output_ids.append(next_id)
+                req.finished = len(req.output_ids) >= req.max_new_tokens or (
+                    req.eos_id != -1 and next_id == req.eos_id
+                )
                 if req.finished:
                     self._cache_finished(req)
                     self.finished.append(req)
@@ -531,13 +551,41 @@ class Scheduler:
                     # Cache only tokens whose KV exists: everything but the
                     # token sampled by this very step (scheduler.py:725-727).
                     self._cache_unfinished(req, req.full_ids[:-1])
-            else:
-                if req.finished:
-                    self._cache_finished(req)
-                    self.finished.append(req)
+            return
 
-        if sub.mode == "decode":
-            self.decoding = [r for r in self.decoding if not r.finished]
+        # decode: next_ids is [K, B]
+        K = sub.window
+        for i, req in enumerate(sub.requests):
+            if req.epoch != sub.epochs[i]:
+                continue  # retracted mid-flight; its slots were freed there
+            req.inflight_steps -= 1
+
+            if req.finished:
+                # Whole window was speculative for an already-finished
+                # request (scheduler.py:740-746, generalized).
+                self.token_pool.free(sub.out_loc[i].reshape(-1))
+                continue
+
+            accepted = 0
+            for k in range(K):
+                next_id = int(next_ids[k, i])
+                req.output_ids.append(next_id)
+                accepted += 1
+                if len(req.output_ids) >= req.max_new_tokens or (
+                    req.eos_id != -1 and next_id == req.eos_id
+                ):
+                    req.finished = True
+                    break
+            if accepted < K:
+                # Roll back the speculative tail of the window.
+                self.token_pool.free(sub.out_loc[i, accepted:])
+                req.seq_len -= K - accepted
+
+            if req.finished:
+                self._cache_finished(req)
+                self.finished.append(req)
+
+        self.decoding = [r for r in self.decoding if not r.finished]
 
     # ------------------------------------------------------------- radix glue
 

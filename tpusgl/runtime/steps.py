@@ -109,6 +109,84 @@ class StepFunctions:
             self._decode_jit[key] = fn
         return fn(self.params, state, req_indices, seq_lens, out_loc, samp, cmask)
 
+    # -------------------------------------------------- multi-step decode
+
+    def make_decode_multi_fn(self, kv_len: int, window: int):
+        """K decode iterations in one program (lax.scan): host dispatch cost
+        is paid once per K tokens instead of per token. Inputs of step k+1
+        come from the in-graph last_token buffer; page-table entries for all
+        K positions are written as the scan progresses. Returns tokens
+        [K, B]."""
+        cfg = self.model_cfg
+
+        def decode_multi(
+            params,
+            state: EngineState,
+            req_indices: jnp.ndarray,  # [B] i32 (padding rows == max_requests)
+            seq_lens0: jnp.ndarray,    # [B] i32 length incl. first new token
+            out_loc: jnp.ndarray,      # [B, K] i32 slots for the K new tokens
+            samp: SamplingArrays,
+        ) -> Tuple[EngineState, jnp.ndarray]:
+            B = req_indices.shape[0]
+
+            def body(carry, k):
+                kv_k, kv_v, rt, last_token, presence, rng = carry
+                seq_lens = seq_lens0 + k
+                loc_k = jax.lax.dynamic_index_in_dim(
+                    out_loc, k, axis=1, keepdims=False
+                )
+                rt = rt.at[req_indices, seq_lens - 1].set(loc_k)
+                input_ids = last_token[req_indices][:, None]
+                meta = AttnMeta(
+                    kv_rows=rt[req_indices, :kv_len],
+                    seq_lens=seq_lens,
+                    ext_lens=jnp.ones((B,), jnp.int32),
+                    positions=(seq_lens - 1)[:, None],
+                    out_loc=loc_k[:, None],
+                )
+                last_hidden, kv_k, kv_v = qwen2.forward(
+                    params, cfg, input_ids, meta, kv_k, kv_v,
+                    attn_impl=self.attn_impl,
+                )
+                logits = qwen2.lm_head_logits(params, cfg, last_hidden)
+                rng, sub = jax.random.split(rng)
+                next_ids = sample_tokens(
+                    sub, logits, samp, presence[req_indices], None,
+                    k_cap=self.sample_k_cap,
+                )
+                last_token = last_token.at[req_indices].set(next_ids)
+                presence = presence.at[req_indices, next_ids].set(True)
+                return (kv_k, kv_v, rt, last_token, presence, rng), next_ids
+
+            carry = (
+                state.kv_k, state.kv_v, state.req_to_token,
+                state.last_token, state.presence, state.rng,
+            )
+            carry, tokens = jax.lax.scan(
+                body, carry, jnp.arange(window, dtype=jnp.int32)
+            )
+            kv_k, kv_v, rt, last_token, presence, rng = carry
+            new_state = state._replace(
+                kv_k=kv_k, kv_v=kv_v, req_to_token=rt,
+                last_token=last_token, presence=presence, rng=rng,
+            )
+            return new_state, tokens  # [K, B]
+
+        return decode_multi
+
+    def decode_multi(
+        self, kv_len: int, window: int, state, req_indices, seq_lens0, out_loc,
+        samp,
+    ) -> Tuple[EngineState, jnp.ndarray]:
+        key = ("multi", int(req_indices.shape[0]), kv_len, window)
+        fn = self._decode_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                self.make_decode_multi_fn(kv_len, window), donate_argnums=(1,)
+            )
+            self._decode_jit[key] = fn
+        return fn(self.params, state, req_indices, seq_lens0, out_loc, samp)
+
     # ----------------------------------------------------- table maintenance
 
     def write_table_row(self, state: EngineState, req_idx, row) -> EngineState:
