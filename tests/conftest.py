@@ -53,10 +53,11 @@ def naive_greedy(params, cfg, prompt, n_new):
     from tpusgl.models import qwen2
     from tpusgl.ops.attention import AttnMeta, ref_attention
 
+    from tpusgl.ops.attention import make_kv_pool
+
     L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     total = len(prompt) + n_new
-    kv_k = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
-    kv_v = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
+    kv = make_kv_pool(L, total, Hkv, D, jnp.float32)
     row = (1 + np.arange(total, dtype=np.int32))[None, :]
     S = len(prompt)
     meta = AttnMeta(
@@ -66,8 +67,8 @@ def naive_greedy(params, cfg, prompt, n_new):
         positions=jnp.arange(S, dtype=jnp.int32)[None],
         out_loc=jnp.asarray(row[:, :S]),
     )
-    hidden, kv_k, kv_v = qwen2.forward(
-        params, cfg, jnp.asarray([list(prompt)], jnp.int32), meta, kv_k, kv_v,
+    hidden, kv = qwen2.forward(
+        params, cfg, jnp.asarray([list(prompt)], jnp.int32), meta, kv,
         attn_impl=ref_attention,
     )
     out = [int(np.argmax(np.asarray(qwen2.lm_head_logits(params, cfg, hidden))[0]))]
@@ -80,8 +81,8 @@ def naive_greedy(params, cfg, prompt, n_new):
             positions=jnp.array([[pos]], jnp.int32),
             out_loc=jnp.asarray(row[:, pos : pos + 1]),
         )
-        hidden, kv_k, kv_v = qwen2.forward(
-            params, cfg, jnp.array([[out[-1]]], jnp.int32), meta, kv_k, kv_v,
+        hidden, kv = qwen2.forward(
+            params, cfg, jnp.array([[out[-1]]], jnp.int32), meta, kv,
             attn_impl=ref_attention,
         )
         out.append(

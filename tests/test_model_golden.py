@@ -61,8 +61,8 @@ def _dense_forward(params, cfg, ids_np, attn_impl=ref_attention):
     B, S = ids_np.shape
     L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
     slots = B * S
-    kv_k = jnp.zeros((L, slots + 1, Hkv, D), jnp.float32)
-    kv_v = jnp.zeros((L, slots + 1, Hkv, D), jnp.float32)
+    from tpusgl.ops.attention import make_kv_pool
+    kv = make_kv_pool(L, slots, Hkv, D, jnp.float32)
     # Row b occupies slots [1 + b*S, 1 + (b+1)*S).
     rows = 1 + np.arange(B)[:, None] * S + np.arange(S)[None, :]
     meta = AttnMeta(
@@ -72,11 +72,11 @@ def _dense_forward(params, cfg, ids_np, attn_impl=ref_attention):
         positions=jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1)),
         out_loc=jnp.asarray(rows, jnp.int32),
     )
-    hidden, kv_k, kv_v = qwen2.forward(
-        params, cfg, jnp.asarray(ids_np, jnp.int32), meta, kv_k, kv_v,
+    hidden, kv = qwen2.forward(
+        params, cfg, jnp.asarray(ids_np, jnp.int32), meta, kv,
         attn_impl=attn_impl,
     )
-    return hidden, kv_k, kv_v, meta
+    return hidden, kv, meta
 
 
 def test_logits_match_hf(hf_model_and_dir):
@@ -90,7 +90,7 @@ def test_logits_match_hf(hf_model_and_dir):
     with torch.no_grad():
         hf_logits = model(torch.tensor(ids)).logits.numpy()  # [B, S, V]
 
-    hidden, _, _, _ = _dense_forward(params, TINY, ids)
+    hidden, _, _ = _dense_forward(params, TINY, ids)
     ours_last = np.asarray(qwen2.lm_head_logits(params, TINY, hidden))
     np.testing.assert_allclose(ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4)
 
@@ -117,10 +117,10 @@ def test_greedy_decode_matches_hf(hf_model_and_dir):
         ).numpy()[0, prompt.shape[1]:]
 
     # Ours: prefill then single-token decode steps against the paged cache.
+    from tpusgl.ops.attention import make_kv_pool
     L, Hkv, D = TINY.num_hidden_layers, TINY.num_key_value_heads, TINY.head_dim
     total = prompt.shape[1] + n_new
-    kv_k = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
-    kv_v = jnp.zeros((L, total + 1, Hkv, D), jnp.float32)
+    kv = make_kv_pool(L, total, Hkv, D, jnp.float32)
     row = np.zeros((1, total), np.int32)
     row[0, :] = 1 + np.arange(total)
 
@@ -132,8 +132,8 @@ def test_greedy_decode_matches_hf(hf_model_and_dir):
         positions=jnp.arange(S, dtype=jnp.int32)[None],
         out_loc=jnp.asarray(row[:, :S], jnp.int32),
     )
-    hidden, kv_k, kv_v = qwen2.forward(
-        params, TINY, jnp.asarray(prompt, jnp.int32), meta, kv_k, kv_v
+    hidden, kv = qwen2.forward(
+        params, TINY, jnp.asarray(prompt, jnp.int32), meta, kv
     )
     ours = []
     cur = int(np.argmax(np.asarray(qwen2.lm_head_logits(params, TINY, hidden))[0]))
@@ -147,8 +147,8 @@ def test_greedy_decode_matches_hf(hf_model_and_dir):
             positions=jnp.array([[pos]], jnp.int32),
             out_loc=jnp.asarray(row[:, pos : pos + 1], jnp.int32),
         )
-        hidden, kv_k, kv_v = qwen2.forward(
-            params, TINY, jnp.array([[cur]], jnp.int32), meta, kv_k, kv_v
+        hidden, kv = qwen2.forward(
+            params, TINY, jnp.array([[cur]], jnp.int32), meta, kv
         )
         cur = int(np.argmax(np.asarray(qwen2.lm_head_logits(params, TINY, hidden))[0]))
         ours.append(cur)
@@ -162,11 +162,11 @@ def test_chunked_attention_matches_ref(hf_model_and_dir):
     rng = np.random.default_rng(2)
     ids = rng.integers(0, TINY.vocab_size, size=(2, 64))
 
-    h_ref, _, _, _ = _dense_forward(params, TINY, ids, attn_impl=ref_attention)
+    h_ref, _, _ = _dense_forward(params, TINY, ids, attn_impl=ref_attention)
     import functools
 
     chunked = functools.partial(chunked_attention, q_chunk=16)
-    h_chk, _, _, _ = _dense_forward(params, TINY, ids, attn_impl=chunked)
+    h_chk, _, _ = _dense_forward(params, TINY, ids, attn_impl=chunked)
     np.testing.assert_allclose(
         np.asarray(h_ref), np.asarray(h_chk), rtol=1e-5, atol=1e-5
     )
@@ -182,12 +182,12 @@ def test_prefix_cache_equivalence(hf_model_and_dir):
     split = 10
 
     # Full prefill.
-    hidden_full, kv_k, kv_v, _ = _dense_forward(params, TINY, full[None, :])
+    hidden_full, _, _ = _dense_forward(params, TINY, full[None, :])
 
     # Prefix prefill then suffix prefill against the cached prefix.
+    from tpusgl.ops.attention import make_kv_pool
     L, Hkv, D = TINY.num_hidden_layers, TINY.num_key_value_heads, TINY.head_dim
-    kv_k2 = jnp.zeros((L, 17, Hkv, D), jnp.float32)
-    kv_v2 = jnp.zeros((L, 17, Hkv, D), jnp.float32)
+    kv2 = make_kv_pool(L, 16, Hkv, D, jnp.float32)
     row = 1 + np.arange(16, dtype=np.int32)
 
     meta_a = AttnMeta(
@@ -197,8 +197,8 @@ def test_prefix_cache_equivalence(hf_model_and_dir):
         positions=jnp.arange(split, dtype=jnp.int32)[None],
         out_loc=jnp.asarray(row[None, :split], jnp.int32),
     )
-    _, kv_k2, kv_v2 = qwen2.forward(
-        params, TINY, jnp.asarray(full[None, :split], jnp.int32), meta_a, kv_k2, kv_v2
+    _, kv2 = qwen2.forward(
+        params, TINY, jnp.asarray(full[None, :split], jnp.int32), meta_a, kv2
     )
     ext = 16 - split
     meta_b = AttnMeta(
@@ -208,8 +208,8 @@ def test_prefix_cache_equivalence(hf_model_and_dir):
         positions=(split + jnp.arange(ext, dtype=jnp.int32))[None],
         out_loc=jnp.asarray(row[None, split:], jnp.int32),
     )
-    hidden_split, _, _ = qwen2.forward(
-        params, TINY, jnp.asarray(full[None, split:], jnp.int32), meta_b, kv_k2, kv_v2
+    hidden_split, _ = qwen2.forward(
+        params, TINY, jnp.asarray(full[None, split:], jnp.int32), meta_b, kv2
     )
     np.testing.assert_allclose(
         np.asarray(hidden_full), np.asarray(hidden_split), rtol=1e-5, atol=1e-5

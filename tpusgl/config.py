@@ -217,6 +217,11 @@ class EngineConfig:
     # Overlap schedule (reference overlap_worker.py) — here: async dispatch.
     enable_overlap: bool = False
 
+    # Unroll the layer stack in the step programs instead of lax.scan over
+    # stacked weights. Observed on TPU: identical runtime, ~50x faster
+    # compiles via the remote toolchain, and no scan-carry copies.
+    unroll_layers: bool = True
+
     # Multi-step decode: run this many decode iterations inside one jitted
     # lax.scan, amortizing host dispatch over K tokens (the device-side
     # last_token buffer makes step k+1's input available without the host).

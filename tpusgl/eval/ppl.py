@@ -26,10 +26,11 @@ def _window_nll_fn(cfg: ModelConfig, B: int, S: int, attn_impl):
     """Jitted sum-NLL over one dense batch of windows [B, S]."""
 
     def fn(params, ids):
+        from tpusgl.ops.attention import make_kv_pool
+
         L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
         slots = B * S
-        kv_k = jnp.zeros((L, slots + 1, Hkv, D), jnp.bfloat16)
-        kv_v = jnp.zeros((L, slots + 1, Hkv, D), jnp.bfloat16)
+        kv = make_kv_pool(L, slots, Hkv, D, jnp.bfloat16)
         rows = 1 + (
             jnp.arange(B, dtype=jnp.int32)[:, None] * S
             + jnp.arange(S, dtype=jnp.int32)[None, :]
@@ -41,8 +42,8 @@ def _window_nll_fn(cfg: ModelConfig, B: int, S: int, attn_impl):
             positions=jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1)),
             out_loc=rows,
         )
-        hidden, _, _ = qwen2.forward_hidden(
-            params, cfg, ids, meta, kv_k, kv_v, attn_impl=attn_impl
+        hidden, _ = qwen2.forward_hidden(
+            params, cfg, ids, meta, kv, attn_impl=attn_impl
         )
         logits = qwen2.lm_head_logits(params, cfg, hidden)  # [B, S, V] f32
         logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)

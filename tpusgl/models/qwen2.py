@@ -113,11 +113,10 @@ def _layer(
     residual: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    kv_k: jnp.ndarray,
-    kv_v: jnp.ndarray,
+    kv_l: jnp.ndarray,
     meta: AttnMeta,
     attn_impl: Callable,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     B, S, _ = hidden.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -130,7 +129,7 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    attn_out, kv_k, kv_v = attn_impl(layer_idx, q, k, v, kv_k, kv_v, meta)
+    attn_out, kv_l = attn_impl(layer_idx, q, k, v, kv_l, meta)
     attn_out = apply_linear(attn_out.reshape(B, S, Hq * D), layer_params["o"])
 
     hidden = residual + attn_out
@@ -144,7 +143,7 @@ def _layer(
     mlp_out = apply_linear(jax.nn.silu(gate) * up, layer_params["down"])
 
     hidden = residual + mlp_out
-    return hidden, hidden, kv_k, kv_v
+    return hidden, hidden, kv_l
 
 
 def forward_hidden(
@@ -152,12 +151,17 @@ def forward_hidden(
     cfg: ModelConfig,
     input_ids: jnp.ndarray,  # [B, S] int32
     meta: AttnMeta,
-    kv_k: jnp.ndarray,  # [L, num_slots+1, Hkv, D]
-    kv_v: jnp.ndarray,
+    kv,  # tuple of L arrays [num_slots+1, Hkv*2*D]
     attn_impl: Callable = ref_attention,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, tuple]:
     """Run the decoder stack; returns (hidden [B, S, H] after final norm,
     kv_k', kv_v').
+
+    Layers are python-unrolled: per-layer weights index the stacked arrays
+    with a static index (an XLA offset view, no copy) and each layer updates
+    its own KV buffer with a canonical in-place scatter. A lax.scan over
+    stacked weights + a traced layer id was measured to make XLA rewrite the
+    whole multi-GB pool every step (see ops/attention.py docstring).
 
     `meta.positions` drives both RoPE and causal masking; padding tokens have
     out_loc 0 (dummy slot) so their KV writes are harmless.
@@ -170,22 +174,16 @@ def forward_hidden(
     layer_params = params["layers"]
     L = cfg.num_hidden_layers
 
-    def body(carry, xs):
-        hidden, residual, kv_k, kv_v = carry
-        lp, li = xs
-        hidden, residual, kv_k, kv_v = _layer(
-            cfg, lp, li, hidden, residual, cos, sin, kv_k, kv_v, meta, attn_impl
+    kv = list(kv)
+    residual = hidden
+    for l in range(L):
+        lp = jax.tree.map(lambda a: a[l], layer_params)
+        hidden, residual, kv[l] = _layer(
+            cfg, lp, l, hidden, residual, cos, sin, kv[l], meta, attn_impl,
         )
-        return (hidden, residual, kv_k, kv_v), None
-
-    (hidden, _, kv_k, kv_v), _ = jax.lax.scan(
-        body,
-        (hidden, hidden, kv_k, kv_v),
-        (layer_params, jnp.arange(L)),
-    )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
-    return hidden, kv_k, kv_v
+    return hidden, tuple(kv)
 
 
 def forward(
@@ -193,14 +191,13 @@ def forward(
     cfg: ModelConfig,
     input_ids: jnp.ndarray,
     meta: AttnMeta,
-    kv_k: jnp.ndarray,
-    kv_v: jnp.ndarray,
+    kv,
     attn_impl: Callable = ref_attention,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Decoder stack + last-real-token gather: (last_hidden [B, H], kv', kv')."""
+) -> Tuple[jnp.ndarray, tuple]:
+    """Decoder stack + last-real-token gather: (last_hidden [B, H], kv')."""
     B, S = input_ids.shape
-    hidden, kv_k, kv_v = forward_hidden(
-        params, cfg, input_ids, meta, kv_k, kv_v, attn_impl
+    hidden, kv = forward_hidden(
+        params, cfg, input_ids, meta, kv, attn_impl
     )
     # Gather each request's last real token (ext_lens - 1, clamped for padding
     # rows) — avoids the reference's full-vocab matmul over every prefill token
@@ -209,7 +206,7 @@ def forward(
     last_hidden = jnp.take_along_axis(
         hidden, last_idx[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
-    return last_hidden, kv_k, kv_v
+    return last_hidden, kv
 
 
 def lm_head_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:

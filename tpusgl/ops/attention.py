@@ -7,17 +7,25 @@ computation:
 - KV for the new tokens is scattered into the pool first, then attention reads
   back through the page table (same ordering as attn_backend.py:20-23).
 - The page-table gather (attn_backend.py:55-59, 122-128) becomes one batched
-  `kv_cache[layer, rows]` gather over [B, S_kv] slot ids.
+  row gather over [B, S_kv] slot ids.
 - GQA repeat_interleave (attn_backend.py:63-66) becomes a head-group reshape;
   no data duplication.
 - The per-request prefix+causal mask (attn_backend.py:74-92) becomes a single
   broadcasted comparison against positions/seq_lens.
 
+KV pool layout (performance-critical, measured on v5e):
+- one buffer **per layer**, shape [slots+1, Hkv*D]: a stacked [L, ...] array
+  indexed by a traced layer id makes XLA lower the scatter into a full-pool
+  masked update (~the whole multi-GB pool read+written every step);
+  per-layer buffers give canonical single-axis scatters/gathers.
+- heads and head_dim merged in the minor dim: a [*, Hkv, D] layout with
+  D < 128 lanes forces pool-sized relayouts around every gather.
+
 `ref_attention` materializes full scores (exact; used for tests and tiny
-shapes). `chunked_attention` is the production jnp path: an online-softmax
-scan over query chunks that bounds score materialization, flash-attention
-style. Both are drop-in `attn_impl`s for models.qwen2.forward; the Pallas
-kernels (tpusgl/ops/paged_attention.py) replace them on the decode hot path.
+shapes). `chunked_attention` bounds score materialization to one q-chunk at a
+time for long prefills. Both are drop-in `attn_impl`s for
+models.qwen2.forward; the Pallas kernels (tpusgl/ops/paged_attention.py)
+replace them on the decode hot path.
 """
 
 from __future__ import annotations
@@ -29,6 +37,18 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
+
+
+def make_kv_pool(num_layers, num_slots, num_kv_heads, head_dim, dtype):
+    """Allocate the paged KV pool: per-layer tuple of [slots+1, Hkv*2*D].
+
+    K and V are interleaved per head ([h, {k,v}, D] in the minor dim) so one
+    row gather fetches both (XLA's TPU row gather costs ~0.25 ms per call at
+    this batch geometry — halving the gather count halves that), and a
+    tp shard of the minor dim still owns whole heads with their K and V.
+    """
+    shape = (num_slots + 1, num_kv_heads * 2 * head_dim)
+    return tuple(jnp.zeros(shape, dtype) for _ in range(num_layers))
 
 
 class AttnMeta(NamedTuple):
@@ -46,27 +66,27 @@ class AttnMeta(NamedTuple):
 
 
 def write_kv(
-    layer_idx: jnp.ndarray,
     k_new: jnp.ndarray,  # [B, S, Hkv, D]
     v_new: jnp.ndarray,
-    kv_k: jnp.ndarray,  # [L, num_slots+1, Hkv, D]
-    kv_v: jnp.ndarray,
+    kv_l: jnp.ndarray,  # [slots+1, Hkv*2*D] — this layer's pool
     out_loc: jnp.ndarray,  # [B, S]
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter new K/V into the pool (attn_backend.py:20-23 / memory_pool.py:152-171).
-
-    Padding tokens carry slot 0 — the reserved dummy row
-    (memory_pool.py:82-84) — so no masking is needed.
-    """
+) -> jnp.ndarray:
+    """Scatter new K/V into the pool (attn_backend.py:20-23 /
+    memory_pool.py:152-171). Padding tokens carry slot 0 — the reserved dummy
+    row (memory_pool.py:82-84) — so no masking is needed."""
     B, S, Hkv, D = k_new.shape
     flat_loc = out_loc.reshape(-1)
-    kv_k = kv_k.at[layer_idx, flat_loc].set(
-        k_new.reshape(-1, Hkv, D).astype(kv_k.dtype), mode="drop"
+    rows = jnp.stack([k_new, v_new], axis=3)  # [B, S, Hkv, 2, D]
+    return kv_l.at[flat_loc].set(
+        rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop"
     )
-    kv_v = kv_v.at[layer_idx, flat_loc].set(
-        v_new.reshape(-1, Hkv, D).astype(kv_v.dtype), mode="drop"
-    )
-    return kv_k, kv_v
+
+
+def gather_kv(kv_l: jnp.ndarray, rows: jnp.ndarray, Hkv: int, D: int):
+    """One row gather -> (k, v) each [B, T, Hkv, D]."""
+    B, T = rows.shape
+    g = kv_l[rows].reshape(B, T, Hkv, 2, D)
+    return g[:, :, :, 0, :], g[:, :, :, 1, :]
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -78,25 +98,22 @@ def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def ref_attention(
-    layer_idx: jnp.ndarray,
+    layer_idx: int,
     q: jnp.ndarray,  # [B, S, Hq, D]
     k_new: jnp.ndarray,  # [B, S, Hkv, D]
     v_new: jnp.ndarray,
-    kv_k: jnp.ndarray,  # [L, num_slots+1, Hkv, D]
-    kv_v: jnp.ndarray,
+    kv_l: jnp.ndarray,  # [slots+1, Hkv*2*D]
     meta: AttnMeta,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact paged attention with fully materialized scores."""
     B, S, Hq, D = q.shape
     Hkv = k_new.shape[2]
     G = Hq // Hkv
     scale = D ** -0.5
 
-    kv_k, kv_v = write_kv(layer_idx, k_new, v_new, kv_k, kv_v, meta.out_loc)
-
-    k_g = kv_k[layer_idx][meta.kv_rows]  # [B, T, Hkv, D]
-    v_g = kv_v[layer_idx][meta.kv_rows]
-    T = k_g.shape[1]
+    kv_l = write_kv(k_new, v_new, kv_l, meta.out_loc)
+    k_g, v_g = gather_kv(kv_l, meta.kv_rows, Hkv, D)
+    T = meta.kv_rows.shape[1]
 
     qg = q.reshape(B, S, Hkv, G, D).astype(jnp.float32)
     scores = jnp.einsum("bskgd,btkd->bkgst", qg, k_g.astype(jnp.float32)) * scale
@@ -109,36 +126,35 @@ def ref_attention(
     probs = _masked_softmax(scores, mask[:, None, None, :, :])
 
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v_g.astype(jnp.float32))
-    return out.reshape(B, S, Hq, D).astype(q.dtype), kv_k, kv_v
+    return out.reshape(B, S, Hq, D).astype(q.dtype), kv_l
 
 
 def chunked_attention(
-    layer_idx: jnp.ndarray,
+    layer_idx: int,
     q: jnp.ndarray,
     k_new: jnp.ndarray,
     v_new: jnp.ndarray,
-    kv_k: jnp.ndarray,
-    kv_v: jnp.ndarray,
+    kv_l: jnp.ndarray,
     meta: AttnMeta,
     q_chunk: int = 256,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Online-softmax paged attention: scores materialized one q-chunk at a
-    time ([B, Hq, q_chunk, T] instead of [B, Hq, S, T]). Decode (S == 1) and
-    short prefills fall through to the exact path."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Paged attention with scores materialized one q-chunk at a time
+    ([B, Hq, q_chunk, T] instead of [B, Hq, S, T]). Decode (S == 1) and short
+    prefills fall through to the exact path."""
     B, S, Hq, D = q.shape
     if S <= q_chunk:
-        return ref_attention(layer_idx, q, k_new, v_new, kv_k, kv_v, meta)
+        return ref_attention(layer_idx, q, k_new, v_new, kv_l, meta)
 
     assert S % q_chunk == 0, (S, q_chunk)
     Hkv = k_new.shape[2]
     G = Hq // Hkv
     scale = D ** -0.5
 
-    kv_k, kv_v = write_kv(layer_idx, k_new, v_new, kv_k, kv_v, meta.out_loc)
-
-    k_g = kv_k[layer_idx][meta.kv_rows].astype(jnp.float32)  # [B, T, Hkv, D]
-    v_g = kv_v[layer_idx][meta.kv_rows].astype(jnp.float32)
-    T = k_g.shape[1]
+    kv_l = write_kv(k_new, v_new, kv_l, meta.out_loc)
+    k_g, v_g = gather_kv(kv_l, meta.kv_rows, Hkv, D)
+    k_g = k_g.astype(jnp.float32)
+    v_g = v_g.astype(jnp.float32)
+    T = meta.kv_rows.shape[1]
     t_idx = jnp.arange(T, dtype=jnp.int32)
     kv_valid = t_idx[None, :] < meta.seq_lens[:, None]  # [B, T]
 
@@ -163,4 +179,4 @@ def chunked_attention(
         ),
     )
     out = jnp.moveaxis(outs, 0, 1).reshape(B, S, Hq, D)
-    return out.astype(q.dtype), kv_k, kv_v
+    return out.astype(q.dtype), kv_l

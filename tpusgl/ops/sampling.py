@@ -59,6 +59,21 @@ def apply_repetition_penalty(
     return jnp.where(presence & (p > 1.0), penalized, logits)
 
 
+def sample_tokens_simple(
+    key: jax.Array,
+    logits: jnp.ndarray,  # [B, V] f32
+    samp: SamplingArrays,
+) -> jnp.ndarray:
+    """Fast path when no request in the batch uses top-k/top-p/penalty:
+    plain temperature categorical + greedy blend. Skips the [B, V] top_k
+    selection and the presence matrix entirely (the scheduler selects this
+    variant statically per batch)."""
+    temp = jnp.where(samp.temperature <= 0, 1.0, samp.temperature)
+    sampled = jax.random.categorical(key, logits / temp[:, None], axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    return jnp.where(samp.do_sample, sampled, greedy).astype(jnp.int32)
+
+
 def sample_tokens(
     key: jax.Array,
     logits: jnp.ndarray,  # [B, V] f32

@@ -93,12 +93,13 @@ def state_shardings(mesh: Mesh, state) -> Any:
     """EngineState sharding: KV pool split on the kv-head axis over tp."""
     from tpusgl.runtime.state import EngineState
 
-    kv = _ns(mesh, None, None, "tp", None)
+    kv = _ns(mesh, None, "tp")  # per-layer [slots, Hkv*2*D]: whole heads/shard
+    L = len(state.kv)
+    scale = _ns(mesh, None, "tp")
     return EngineState(
-        kv_k=kv,
-        kv_v=kv,
-        kv_k_scale=None if state.kv_k_scale is None else _ns(mesh, None, None, "tp"),
-        kv_v_scale=None if state.kv_v_scale is None else _ns(mesh, None, None, "tp"),
+        kv=tuple(kv for _ in range(L)),
+        kv_scale=None if state.kv_scale is None
+        else tuple(scale for _ in range(L)),
         req_to_token=_ns(mesh),
         last_token=_ns(mesh),
         presence=_ns(mesh),

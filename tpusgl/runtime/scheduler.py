@@ -385,6 +385,7 @@ class Scheduler:
                 self._samp_arrays([req]),
                 penalty_ids,
                 cmask,
+                simple=self._is_simple([req]) and not req.output_ids,
             )
             next_ids_list.append(next_ids)
             out_locs.append(slots[-1] if ext > 0 else 0)
@@ -455,16 +456,18 @@ class Scheduler:
 
         kv_len = self._kv_bucket(max_len)
         samp = self._samp_arrays(batch, padded=Bb)
+        simple = self._is_simple(batch)
         if K == 1:
             cmask = self._constraint_mask(batch, padded=Bb)
             self.state, next_ids = self.steps.decode_with_kv_len(
                 kv_len, self.state, req_indices, seq_lens0, out_loc[:, 0],
-                samp, cmask,
+                samp, cmask, simple=simple,
             )
             next_ids = next_ids[None, :]  # [1, Bb]
         else:
             self.state, next_ids = self.steps.decode_multi(
-                kv_len, K, self.state, req_indices, seq_lens0, out_loc, samp
+                kv_len, K, self.state, req_indices, seq_lens0, out_loc, samp,
+                simple=simple,
             )
         self.metrics["decode_steps"] += 1
         self.metrics["decode_tokens"] += B * K
@@ -480,6 +483,18 @@ class Scheduler:
     def _kv_bucket(self, max_len: int) -> int:
         b = round_up(max(max_len, 1), self.cfg.kv_len_bucket)
         return min(b, self.cfg.max_context_len)
+
+    @staticmethod
+    def _is_simple(batch: List[Request]) -> bool:
+        """True when no request needs top-k/top-p/penalty/constraints — the
+        steps then use the fast sampling path with no presence matrix."""
+        return all(
+            r.top_k <= 0
+            and r.top_p >= 1.0
+            and r.repetition_penalty <= 1.0
+            and r.constraint_state is None
+            for r in batch
+        )
 
     def _samp_arrays(self, batch: List[Request], padded: Optional[int] = None):
         B = padded or len(batch)

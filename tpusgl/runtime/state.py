@@ -28,13 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from tpusgl.config import EngineConfig, ModelConfig
+from tpusgl.ops.attention import make_kv_pool
 
 
 class EngineState(NamedTuple):
-    kv_k: jnp.ndarray         # [L, slots+1, Hkv, D]
-    kv_v: jnp.ndarray         # [L, slots+1, Hkv, D]
-    kv_k_scale: Optional[jnp.ndarray]  # [L, slots+1, Hkv] f32 when kv int8
-    kv_v_scale: Optional[jnp.ndarray]
+    kv: tuple                 # L x [slots+1, Hkv*2*D] (per-layer, k/v fused)
+    kv_scale: Optional[tuple]  # L x [slots+1, Hkv*2] f32 when kv int8
     req_to_token: jnp.ndarray  # [max_requests+1, max_context_len] int32
     last_token: jnp.ndarray    # [max_requests+1] int32
     presence: jnp.ndarray      # [max_requests+1, vocab] bool
@@ -56,12 +55,12 @@ def init_state(
 
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
-    kv_shape = (L, slots + 1, Hkv, D)
+    kv = make_kv_pool(L, slots, Hkv, D, store_dtype)
+    scale_shape = (slots + 1, Hkv * 2)
     return EngineState(
-        kv_k=jnp.zeros(kv_shape, store_dtype),
-        kv_v=jnp.zeros(kv_shape, store_dtype),
-        kv_k_scale=jnp.zeros((L, slots + 1, Hkv), jnp.float32) if quant_kv else None,
-        kv_v_scale=jnp.zeros((L, slots + 1, Hkv), jnp.float32) if quant_kv else None,
+        kv=kv,
+        kv_scale=tuple(jnp.zeros(scale_shape, jnp.float32) for _ in range(L))
+        if quant_kv else None,
         req_to_token=jnp.zeros((R + 1, C), jnp.int32),
         last_token=jnp.zeros((R + 1,), jnp.int32),
         presence=jnp.zeros((R + 1, model_cfg.vocab_size), jnp.bool_),

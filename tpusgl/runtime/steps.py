@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from tpusgl.config import EngineConfig, ModelConfig
 from tpusgl.models import qwen2
 from tpusgl.ops.attention import AttnMeta, chunked_attention
-from tpusgl.ops.sampling import SamplingArrays, sample_tokens
+from tpusgl.ops.sampling import SamplingArrays, sample_tokens, sample_tokens_simple
 from tpusgl.runtime.state import EngineState
 
 
@@ -41,20 +41,25 @@ class StepFunctions:
         engine_cfg: EngineConfig,
         attn_impl: Callable = chunked_attention,
         sample_k_cap: int = 1024,
+        unroll_layers: Optional[bool] = None,
     ):
         self.params = params
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
         self.attn_impl = attn_impl
         self.sample_k_cap = min(sample_k_cap, model_cfg.vocab_size)
+        self.unroll_layers = (
+            engine_cfg.unroll_layers if unroll_layers is None else unroll_layers
+        )
         self._decode_jit = {}
         self._prefill_jit = {}
 
     # ------------------------------------------------------------------ decode
 
-    def make_decode_fn(self, kv_len: int):
+    def make_decode_fn(self, kv_len: int, simple: bool = False):
         """The raw (unjitted) decode step — also used by __graft_entry__ for
-        driver compile checks."""
+        driver compile checks. `simple` selects the fast sampling path (no
+        top-k/top-p/penalty anywhere in the batch)."""
         cfg = self.model_cfg
 
         def decode_step(
@@ -78,21 +83,26 @@ class StepFunctions:
                 positions=positions,
                 out_loc=out_loc[:, None],
             )
-            last_hidden, kv_k, kv_v = qwen2.forward(
-                params, cfg, input_ids, meta, state.kv_k, state.kv_v,
+            last_hidden, kv = qwen2.forward(
+                params, cfg, input_ids, meta, state.kv,
                 attn_impl=self.attn_impl,
             )
             logits = qwen2.lm_head_logits(params, cfg, last_hidden)
 
             rng, sub = jax.random.split(state.rng)
-            presence_rows = state.presence[req_indices]
-            next_ids = sample_tokens(
-                sub, logits, samp, presence_rows, cmask, k_cap=self.sample_k_cap
-            )
+            if simple:
+                next_ids = sample_tokens_simple(sub, logits, samp)
+                presence = state.presence
+            else:
+                presence_rows = state.presence[req_indices]
+                next_ids = sample_tokens(
+                    sub, logits, samp, presence_rows, cmask,
+                    k_cap=self.sample_k_cap,
+                )
+                presence = state.presence.at[req_indices, next_ids].set(True)
             last_token = state.last_token.at[req_indices].set(next_ids)
-            presence = state.presence.at[req_indices, next_ids].set(True)
             new_state = state._replace(
-                kv_k=kv_k, kv_v=kv_v, req_to_token=rt,
+                kv=kv, req_to_token=rt,
                 last_token=last_token, presence=presence, rng=rng,
             )
             return new_state, next_ids
@@ -100,23 +110,29 @@ class StepFunctions:
         return decode_step
 
     def decode_with_kv_len(
-        self, kv_len: int, state, req_indices, seq_lens, out_loc, samp, cmask=None
+        self, kv_len: int, state, req_indices, seq_lens, out_loc, samp,
+        cmask=None, simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
-        key = (int(req_indices.shape[0]), kv_len, cmask is not None)
+        simple = simple and cmask is None
+        key = (int(req_indices.shape[0]), kv_len, cmask is not None, simple)
         fn = self._decode_jit.get(key)
         if fn is None:
-            fn = jax.jit(self.make_decode_fn(kv_len), donate_argnums=(1,))
+            fn = jax.jit(self.make_decode_fn(kv_len, simple), donate_argnums=(1,))
             self._decode_jit[key] = fn
         return fn(self.params, state, req_indices, seq_lens, out_loc, samp, cmask)
 
     # -------------------------------------------------- multi-step decode
 
-    def make_decode_multi_fn(self, kv_len: int, window: int):
-        """K decode iterations in one program (lax.scan): host dispatch cost
-        is paid once per K tokens instead of per token. Inputs of step k+1
-        come from the in-graph last_token buffer; page-table entries for all
-        K positions are written as the scan progresses. Returns tokens
-        [K, B]."""
+    def make_decode_multi_fn(self, kv_len: int, window: int, simple: bool = False):
+        """K decode iterations in one program: host dispatch cost is paid once
+        per K tokens instead of per token. Inputs of step k+1 come from the
+        in-graph last_token buffer; page-table entries for all K positions
+        are written as the program progresses. Returns tokens [K, B].
+
+        The window is python-unrolled rather than lax.scan: each step's KV
+        scatter then updates a dead buffer in place, and (observed on the
+        remote TPU toolchain) unrolled programs both compile ~50x faster and
+        avoid scan-carry copies of the multi-GB KV pool."""
         cfg = self.model_cfg
 
         def decode_multi(
@@ -128,13 +144,14 @@ class StepFunctions:
             samp: SamplingArrays,
         ) -> Tuple[EngineState, jnp.ndarray]:
             B = req_indices.shape[0]
+            kv = state.kv
+            rt, last_token = state.req_to_token, state.last_token
+            presence, rng = state.presence, state.rng
 
-            def body(carry, k):
-                kv_k, kv_v, rt, last_token, presence, rng = carry
+            tokens = []
+            for k in range(window):
                 seq_lens = seq_lens0 + k
-                loc_k = jax.lax.dynamic_index_in_dim(
-                    out_loc, k, axis=1, keepdims=False
-                )
+                loc_k = out_loc[:, k]
                 rt = rt.at[req_indices, seq_lens - 1].set(loc_k)
                 input_ids = last_token[req_indices][:, None]
                 meta = AttnMeta(
@@ -144,45 +161,41 @@ class StepFunctions:
                     positions=(seq_lens - 1)[:, None],
                     out_loc=loc_k[:, None],
                 )
-                last_hidden, kv_k, kv_v = qwen2.forward(
-                    params, cfg, input_ids, meta, kv_k, kv_v,
+                last_hidden, kv = qwen2.forward(
+                    params, cfg, input_ids, meta, kv,
                     attn_impl=self.attn_impl,
                 )
                 logits = qwen2.lm_head_logits(params, cfg, last_hidden)
                 rng, sub = jax.random.split(rng)
-                next_ids = sample_tokens(
-                    sub, logits, samp, presence[req_indices], None,
-                    k_cap=self.sample_k_cap,
-                )
+                if simple:
+                    next_ids = sample_tokens_simple(sub, logits, samp)
+                else:
+                    next_ids = sample_tokens(
+                        sub, logits, samp, presence[req_indices], None,
+                        k_cap=self.sample_k_cap,
+                    )
+                    presence = presence.at[req_indices, next_ids].set(True)
                 last_token = last_token.at[req_indices].set(next_ids)
-                presence = presence.at[req_indices, next_ids].set(True)
-                return (kv_k, kv_v, rt, last_token, presence, rng), next_ids
+                tokens.append(next_ids)
 
-            carry = (
-                state.kv_k, state.kv_v, state.req_to_token,
-                state.last_token, state.presence, state.rng,
-            )
-            carry, tokens = jax.lax.scan(
-                body, carry, jnp.arange(window, dtype=jnp.int32)
-            )
-            kv_k, kv_v, rt, last_token, presence, rng = carry
             new_state = state._replace(
-                kv_k=kv_k, kv_v=kv_v, req_to_token=rt,
+                kv=kv, req_to_token=rt,
                 last_token=last_token, presence=presence, rng=rng,
             )
-            return new_state, tokens  # [K, B]
+            return new_state, jnp.stack(tokens)  # [K, B]
 
         return decode_multi
 
     def decode_multi(
         self, kv_len: int, window: int, state, req_indices, seq_lens0, out_loc,
-        samp,
+        samp, simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
-        key = ("multi", int(req_indices.shape[0]), kv_len, window)
+        key = ("multi", int(req_indices.shape[0]), kv_len, window, simple)
         fn = self._decode_jit.get(key)
         if fn is None:
             fn = jax.jit(
-                self.make_decode_multi_fn(kv_len, window), donate_argnums=(1,)
+                self.make_decode_multi_fn(kv_len, window, simple),
+                donate_argnums=(1,),
             )
             self._decode_jit[key] = fn
         return fn(self.params, state, req_indices, seq_lens0, out_loc, samp)
@@ -204,7 +217,7 @@ class StepFunctions:
 
     # ----------------------------------------------------------------- prefill
 
-    def make_prefill_fn(self, kv_len: int):
+    def make_prefill_fn(self, kv_len: int, simple: bool = False):
         """The raw (unjitted) prefill step."""
         cfg = self.model_cfg
 
@@ -233,26 +246,31 @@ class StepFunctions:
                 positions=positions,
                 out_loc=out_loc,
             )
-            last_hidden, kv_k, kv_v = qwen2.forward(
-                params, cfg, input_ids, meta, state.kv_k, state.kv_v,
+            last_hidden, kv = qwen2.forward(
+                params, cfg, input_ids, meta, state.kv,
                 attn_impl=self.attn_impl,
             )
             logits = qwen2.lm_head_logits(params, cfg, last_hidden)
 
             rng, sub = jax.random.split(state.rng)
-            presence_row = (
-                jnp.zeros((1, cfg.vocab_size), jnp.bool_)
-                .at[0, penalty_ids[0]]
-                .set(True, mode="drop")
-            )
-            next_ids = sample_tokens(
-                sub, logits, samp, presence_row, cmask, k_cap=self.sample_k_cap
-            )
-            presence = state.presence.at[req_idx[0]].set(presence_row[0])
-            presence = presence.at[req_idx[0], next_ids[0]].set(True)
+            if simple:
+                next_ids = sample_tokens_simple(sub, logits, samp)
+                presence = state.presence
+            else:
+                presence_row = (
+                    jnp.zeros((1, cfg.vocab_size), jnp.bool_)
+                    .at[0, penalty_ids[0]]
+                    .set(True, mode="drop")
+                )
+                next_ids = sample_tokens(
+                    sub, logits, samp, presence_row, cmask,
+                    k_cap=self.sample_k_cap,
+                )
+                presence = state.presence.at[req_idx[0]].set(presence_row[0])
+                presence = presence.at[req_idx[0], next_ids[0]].set(True)
             last_token = state.last_token.at[req_idx[0]].set(next_ids[0])
             new_state = state._replace(
-                kv_k=kv_k, kv_v=kv_v, req_to_token=rt,
+                kv=kv, req_to_token=rt,
                 last_token=last_token, presence=presence, rng=rng,
             )
             return new_state, next_ids
@@ -262,11 +280,13 @@ class StepFunctions:
     def prefill(
         self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, table_row,
         seq_len, prefix_len, out_loc, samp, penalty_ids, cmask=None,
+        simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
-        key = (seq_bucket, kv_len, cmask is not None)
+        simple = simple and cmask is None
+        key = (seq_bucket, kv_len, cmask is not None, simple)
         fn = self._prefill_jit.get(key)
         if fn is None:
-            fn = jax.jit(self.make_prefill_fn(kv_len), donate_argnums=(1,))
+            fn = jax.jit(self.make_prefill_fn(kv_len, simple), donate_argnums=(1,))
             self._prefill_jit[key] = fn
         return fn(
             self.params, state, req_idx, input_ids, table_row, seq_len,
