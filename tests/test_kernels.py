@@ -7,76 +7,132 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpusgl.ops.attention import AttnMeta, make_kv_pool, ref_attention, write_kv
-from tpusgl.ops.paged_attention import paged_decode_attention
+from tpusgl.ops.attention import (
+    AttnMeta,
+    make_kv_pool,
+    ref_attention,
+    rows_from_pages,
+    write_kv,
+)
+from tpusgl.ops.paged_attention import paged_decode_attention, pallas_attention
 
 
-@pytest.mark.parametrize("Hq,Hkv,D", [(4, 2, 64), (8, 8, 64), (4, 1, 128)])
-def test_paged_decode_matches_ref(Hq, Hkv, D):
-    rng = np.random.default_rng(0)
-    B, T, block = 4, 256, 128
-    slots = 1024
-
-    kv_l = jnp.asarray(rng.normal(size=(slots + 1, Hkv * 2 * D)), jnp.float32)
-    seq_lens = np.array([7, 130, 256, 1], np.int32)
-    kv_rows = np.zeros((B, T), np.int32)
+def _random_tbl(rng, B, pages_per_seq, n_pages):
+    tbl = np.zeros((B, pages_per_seq), np.int32)
     for b in range(B):
-        kv_rows[b, : seq_lens[b]] = rng.choice(
-            np.arange(1, slots + 1), size=seq_lens[b], replace=False
+        tbl[b] = rng.choice(
+            np.arange(1, n_pages + 1), size=pages_per_seq, replace=False
         )
-    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
-    k_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
-    v_new = jnp.asarray(rng.normal(size=(B, 1, Hkv, D)), jnp.float32)
-    out_loc = np.array([[kv_rows[b, seq_lens[b] - 1]] for b in range(B)], np.int32)
+    return tbl
 
+
+@pytest.mark.parametrize(
+    "Hq,Hkv,D,P", [(14, 2, 64, 32), (12, 2, 128, 16), (8, 8, 64, 8), (4, 1, 128, 4)]
+)
+def test_paged_decode_matches_ref(Hq, Hkv, D, P):
+    rng = np.random.default_rng(0)
+    B, pages_per_seq, n_pages = 4, 8, 64
+    T = pages_per_seq * P
+
+    kv_l = jnp.asarray(rng.normal(size=((n_pages + 1) * P, Hkv * 2 * D)), jnp.float32)
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    seq_lens = np.array([1, P + 3, T, 2 * P], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, kv_l, jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=4, interpret=True,
+    )
+
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
     meta = AttnMeta(
-        kv_rows=jnp.asarray(kv_rows),
+        kv_rows=rows,
         seq_lens=jnp.asarray(seq_lens),
         ext_lens=jnp.ones((B,), jnp.int32),
         positions=jnp.asarray(seq_lens - 1)[:, None],
-        out_loc=jnp.asarray(out_loc),
+        out_loc=jnp.zeros((B, 1), jnp.int32),
     )
-
-    ref_out, kv_after = ref_attention(0, q, k_new, v_new, kv_l, meta)
-
-    kv_written = write_kv(k_new, v_new, kv_l, meta.out_loc)
-    pal_out = paged_decode_attention(
-        q[:, 0], kv_written, meta.kv_rows, meta.seq_lens,
-        num_kv_heads=Hkv, block=block, interpret=True,
+    ref, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), kv_l, meta,
     )
     np.testing.assert_allclose(
-        np.asarray(pal_out), np.asarray(ref_out[:, 0]), rtol=2e-5, atol=2e-5
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-5, atol=2e-5
     )
 
 
-def test_paged_decode_in_model():
-    """pallas_attention as attn_impl end to end on the tiny model."""
+def test_paged_decode_int8_kv_scales():
+    rng = np.random.default_rng(1)
+    Hq, Hkv, D, P = 4, 2, 64, 8
+    B, pages_per_seq, n_pages = 2, 4, 32
+    T = pages_per_seq * P
+    scale = 0.04
+    kv_i8 = rng.integers(-127, 127, ((n_pages + 1) * P, Hkv * 2 * D)).astype(np.int8)
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    seq_lens = np.array([T, P + 1], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, jnp.asarray(kv_i8), jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=2,
+        k_scale=scale, v_scale=scale, interpret=True,
+    )
+    # reference: dequantized pool through the jnp path
+    kv_f = jnp.asarray(kv_i8.astype(np.float32) * scale)
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
+    meta = AttnMeta(
+        kv_rows=rows, seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(seq_lens - 1)[:, None],
+        out_loc=jnp.zeros((B, 1), jnp.int32),
+    )
+    ref, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), kv_f, meta,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pallas_attention_in_model():
+    """pallas_attention as attn_impl end to end on a tiny model (decode path
+    through the kernel, page-table metadata)."""
     from tpusgl.config import ModelConfig
     from tpusgl.models import qwen2
-    from tpusgl.ops.paged_attention import pallas_attention
 
     cfg = ModelConfig(
         hidden_size=128, num_attention_heads=2, num_key_value_heads=2,
         intermediate_size=128, num_hidden_layers=2, vocab_size=64,
         tie_word_embeddings=True, max_position_embeddings=256, rope_theta=10000.0,
     )
+    P = 8
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    kv = make_kv_pool(cfg.num_hidden_layers, 256, 2, 64, jnp.float32)
-    B = 2
-    rows = np.tile(np.arange(1, 129, dtype=np.int32), (B, 1))
-    rows[1] += 128
-    meta = AttnMeta(
-        kv_rows=jnp.asarray(rows),
-        seq_lens=jnp.array([5, 9], jnp.int32),
-        ext_lens=jnp.ones((B,), jnp.int32),
-        positions=jnp.array([[4], [8]], jnp.int32),
-        out_loc=jnp.asarray(rows[:, 4:5]),
+    kv = make_kv_pool(cfg.num_hidden_layers, 256, 2, 64, jnp.float32, page_size=P)
+    B, pages_per_seq = 2, 4
+    tbl = np.zeros((B, pages_per_seq), np.int32)
+    tbl[0] = [1, 2, 3, 4]
+    tbl[1] = [5, 6, 7, 8]
+    T = pages_per_seq * P
+    rows = np.asarray(rows_from_pages(jnp.asarray(tbl), T, P))
+    seq_lens = np.array([5, 9], np.int32)
+    out_loc = np.array(
+        [[rows[0, 4]], [rows[1, 8]]], np.int32
     )
+    base = dict(
+        seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(seq_lens - 1)[:, None],
+        out_loc=jnp.asarray(out_loc),
+    )
+    meta_ref = AttnMeta(kv_rows=jnp.asarray(rows), **base)
+    meta_pal = AttnMeta(kv_rows=None, page_tbl=jnp.asarray(tbl), **base)
     ids = jnp.array([[3], [7]], jnp.int32)
 
-    h_ref, _ = qwen2.forward(params, cfg, ids, meta, kv, attn_impl=ref_attention)
-    pal = functools.partial(pallas_attention, interpret=True)
-    h_pal, _ = qwen2.forward(params, cfg, ids, meta, kv, attn_impl=pal)
+    h_ref, _ = qwen2.forward(params, cfg, ids, meta_ref, kv, attn_impl=ref_attention)
+    pal = functools.partial(pallas_attention, page_size=P, pages_per_block=2,
+                            interpret=True)
+    h_pal, _ = qwen2.forward(params, cfg, ids, meta_pal, kv, attn_impl=pal)
     np.testing.assert_allclose(
         np.asarray(h_ref), np.asarray(h_pal), rtol=2e-5, atol=2e-5
     )

@@ -104,3 +104,61 @@ def test_pools_accounting():
     assert tp.available_size() == 7
     tp.clear()
     assert tp.available_size() == 10
+
+
+# ----------------------------------------------------- page-granular layer
+
+def test_page_pool_alloc_free():
+    from tpusgl.runtime.memory_pool import PagePool
+
+    pool = PagePool(64, 4)  # 16 pages
+    assert pool.available_size() == 64
+    a = pool.alloc_pages(3)
+    assert len(a) == 3 and pool.available_size() == 52
+    slots = pool.page_slots(a)
+    assert len(slots) == 12
+    assert list(slots[:4]) == [a[0] * 4 + i for i in range(4)]
+    pool.free_pages(a)
+    assert pool.available_size() == 64
+    assert pool.alloc_pages(17) is None
+
+
+def test_paged_radix_match_insert_evict():
+    from tpusgl.runtime.radix_cache import PagedRadixCache
+
+    P = 4
+    t = PagedRadixCache(P)
+    ids = list(range(10))  # 2 full pages + partial tail
+    pages = np.array([3, 4], np.int32)
+    assert t.insert(ids, pages) == 0
+    assert t.evictable_size() == 2 * P
+
+    got, node = t.match_prefix(ids)
+    assert list(got) == [3, 4]
+    # partial overlap: first page shared, second differs
+    other = ids[:4] + [99, 98, 97, 96, 95]
+    got2, _ = t.match_prefix(other)
+    assert list(got2) == [3]
+    # inserting the divergent sequence reports the shared-page prefix
+    assert t.insert(other, np.array([3, 7], np.int32)) == P
+    assert t.evictable_size() == 3 * P
+
+    freed = []
+    t.evict(100, lambda pages: freed.extend(pages.tolist()))
+    assert sorted(freed) == [3, 4, 7]
+    assert t.evictable_size() == 0
+
+
+def test_paged_radix_lock_protects_pages():
+    from tpusgl.runtime.radix_cache import PagedRadixCache
+
+    t = PagedRadixCache(2)
+    t.insert([1, 2, 3, 4], np.array([5, 6], np.int32))
+    _, node = t.match_prefix([1, 2, 3, 4])
+    t.inc_lock_ref(node)
+    assert t.evictable_size() == 0
+    freed = []
+    t.evict(100, lambda p: freed.extend(p.tolist()))
+    assert freed == []
+    t.dec_lock_ref(node)
+    assert t.evictable_size() == 4

@@ -29,6 +29,7 @@ CFG = ModelConfig(
 ECFG = EngineConfig(
     max_total_tokens=512,
     max_requests=8,
+    page_size=4,  # small pages so tiny prompts exercise paging + sharing
     decode_bs_buckets=(1, 2, 4, 8),
     prefill_len_buckets=(8, 16, 32, 64),
     kv_len_bucket=64,
@@ -62,7 +63,7 @@ def oracle(params, prompts):
 
 def _assert_pools_conserved(engine):
     sched = engine.scheduler
-    free = sched.token_pool.available_size()
+    free = sched.page_pool.available_size()
     cached = sched.tree.total_cached_tokens()
     assert free + cached == ECFG.max_total_tokens, (free, cached)
     assert sched.req_pool.available_size() == ECFG.max_requests
@@ -127,7 +128,7 @@ def test_retraction_under_memory_pressure(params, prompts, oracle, overlap):
         assert o == {tuple(k): v for k, v in
                      [(tuple(pp), oracle[tuple(pp)]) for pp in prompts]}[tuple(p)]
     sched = engine.scheduler
-    free = sched.token_pool.available_size()
+    free = sched.page_pool.available_size()
     cached = sched.tree.total_cached_tokens()
     assert free + cached == small.max_total_tokens
 

@@ -191,7 +191,14 @@ class EngineConfig:
 
     max_total_tokens: int = 131072
     max_requests: int = 32
-    page_size: int = 1  # tokens per KV page; 1 == reference token-granular slots
+    # Tokens per KV page: the unit of allocation, radix sharing, and the
+    # Pallas decode kernel's DMA. 1 == the reference's token-granular slots
+    # (memory_pool.py:46-102); larger pages make each HBM fetch one
+    # contiguous block (speed-of-light DMA) at the cost of page-quantized
+    # prefix-cache hits.
+    page_size: int = 32
+    # KV pages fetched per kernel block (double-buffered DMA window).
+    pages_per_block: int = 8
 
     # Admission / retraction policy (reference scheduler.py:64-70).
     new_token_ratio_init: float = 0.5
@@ -229,10 +236,22 @@ class EngineConfig:
     # window are rolled back and their KV slots freed at commit.
     decode_window: int = 8
 
+    def __post_init__(self):
+        assert self.max_total_tokens % self.page_size == 0, (
+            self.max_total_tokens, self.page_size)
+        assert self.max_context_len % self.page_size == 0, (
+            self.max_context_len, self.page_size)
+        assert self.kv_len_bucket % self.page_size == 0, (
+            self.kv_len_bucket, self.page_size)
+
     @property
     def max_context_len(self) -> int:
         # Reference: token_pool_size // req_pool_size (scheduler.py:43-47).
         return self.max_total_tokens // self.max_requests
+
+    @property
+    def pages_per_seq(self) -> int:
+        return self.max_context_len // self.page_size
 
     @classmethod
     def from_env(cls, **overrides) -> "EngineConfig":

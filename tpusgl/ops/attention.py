@@ -31,7 +31,7 @@ replace them on the decode hot path.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,15 +39,25 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def make_kv_pool(num_layers, num_slots, num_kv_heads, head_dim, dtype):
-    """Allocate the paged KV pool: per-layer tuple of [slots+1, Hkv*2*D].
+def make_kv_pool(num_layers, num_slots, num_kv_heads, head_dim, dtype,
+                 page_size: int = 1):
+    """Allocate the paged KV pool: per-layer tuple of
+    [(num_pages + 1) * page_size, Hkv*2*D] where num_pages = slots//page_size.
 
     K and V are interleaved per head ([h, {k,v}, D] in the minor dim) so one
     row gather fetches both (XLA's TPU row gather costs ~0.25 ms per call at
     this batch geometry — halving the gather count halves that), and a
     tp shard of the minor dim still owns whole heads with their K and V.
+
+    The allocator (runtime/memory_pool.PagePool) hands out whole pages —
+    page_size contiguous rows starting at a page_size-aligned row — so the
+    Pallas decode kernel can DMA full pages. Page 0 (rows [0, page_size)) is
+    the reserved dummy write target (slot 0 semantics of the reference,
+    /root/reference/memory_pool.py:82-84). page_size == 1 degenerates to the
+    reference's token-granular [slots+1, ...] pool exactly.
     """
-    shape = (num_slots + 1, num_kv_heads * 2 * head_dim)
+    num_pages = num_slots // page_size
+    shape = ((num_pages + 1) * page_size, num_kv_heads * 2 * head_dim)
     return tuple(jnp.zeros(shape, dtype) for _ in range(num_layers))
 
 
@@ -55,14 +65,28 @@ class AttnMeta(NamedTuple):
     """Static-shape batch metadata threaded through the model.
 
     TPU-native analogue of the reference's SimplifiedForwardBatch
-    (/root/reference/forward_batch.py:8-84).
+    (/root/reference/forward_batch.py:8-84). Either `kv_rows` (token-granular
+    slot ids, used by the jnp paths) or `page_tbl` (page ids, used by the
+    Pallas kernel; token rows derivable on device) must be present.
     """
 
-    kv_rows: jnp.ndarray    # [B, S_kv] int32 — KV slot id per logical position
+    kv_rows: Optional[jnp.ndarray]  # [B, S_kv] int32 — KV slot per position
     seq_lens: jnp.ndarray   # [B] int32 — total logical length incl. new tokens
     ext_lens: jnp.ndarray   # [B] int32 — number of new (non-cached) tokens, <= S
     positions: jnp.ndarray  # [B, S] int32 — logical position of each new token
     out_loc: jnp.ndarray    # [B, S] int32 — KV slot for each new token (0 = dummy)
+    page_tbl: Optional[jnp.ndarray] = None  # [B, pages_per_seq] int32 page ids
+
+
+def rows_from_pages(page_tbl: jnp.ndarray, T: int, page_size: int) -> jnp.ndarray:
+    """Derive token-granular KV rows [B, T] from the page table: the row for
+    logical position t is page_tbl[:, t // P] * P + t % P (pages are
+    contiguous aligned runs by the allocator contract)."""
+    t = jnp.arange(T, dtype=jnp.int32)
+    pages = jnp.take(page_tbl, t // page_size, axis=1)  # [B, T]
+    return pages * page_size + (t % page_size)[None, :]
+
+
 
 
 def write_kv(

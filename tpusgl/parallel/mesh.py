@@ -100,7 +100,6 @@ def state_shardings(mesh: Mesh, state) -> Any:
         kv=tuple(kv for _ in range(L)),
         kv_scale=None if state.kv_scale is None
         else tuple(scale for _ in range(L)),
-        req_to_token=_ns(mesh),
         last_token=_ns(mesh),
         presence=_ns(mesh),
         rng=_ns(mesh),

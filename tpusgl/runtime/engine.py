@@ -54,12 +54,32 @@ class Engine:
         tokenizer=None,
         dtype=jnp.bfloat16,
         seed: int = 0,
-        attn_impl=chunked_attention,
+        attn_impl=None,
         sample_k_cap: int = 1024,
     ):
         self.model_cfg = model_cfg or resolve_model_config(model_id)
         self.cfg = engine_cfg or EngineConfig.from_env()
         self.tokenizer = tokenizer if tokenizer is not None else _maybe_tokenizer(model_id)
+
+        # Attention backend: the Pallas paged kernel on TPU (HBM-speed page
+        # streaming, one executable for all context lengths), jnp chunked
+        # attention elsewhere (CPU tests, virtual-device dry runs).
+        paged_kernel = False
+        if attn_impl is None:
+            if jax.default_backend() == "tpu":
+                import functools
+
+                from tpusgl.ops.paged_attention import pallas_attention
+
+                attn_impl = functools.partial(
+                    pallas_attention,
+                    page_size=self.cfg.page_size,
+                    pages_per_block=self.cfg.pages_per_block,
+                )
+                paged_kernel = True
+            else:
+                attn_impl = chunked_attention
+        self._paged_kernel = paged_kernel
 
         if params is None:
             if os.path.isdir(model_id):
@@ -87,6 +107,7 @@ class Engine:
         self.steps = StepFunctions(
             params, self.model_cfg, self.cfg,
             attn_impl=attn_impl, sample_k_cap=sample_k_cap,
+            paged_kernel=self._paged_kernel,
         )
         state = init_state(self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed)
         if self.mesh is not None:

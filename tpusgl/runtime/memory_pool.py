@@ -84,3 +84,58 @@ class TokenSlotPool:
 
     def clear(self) -> None:
         self.free_slots = np.arange(1, self.size + 1, dtype=np.int32)
+
+
+class PagePool:
+    """Page-granular KV allocator.
+
+    The TPU replacement for the reference's token free list
+    (/root/reference/memory_pool.py:46-102): KV is handed out in whole pages —
+    `page_size` contiguous, aligned pool rows — so the Pallas decode kernel
+    (tpusgl/ops/paged_attention.py) can stream full pages from HBM with one
+    DMA each instead of gathering scattered single-token rows (measured
+    18.7 GB/s for the row gather vs ~430-550 GB/s paged on v5e).
+
+    Page ids are 1..num_pages; page 0 (token slots [0, page_size)) is the
+    reserved dummy write target, generalizing the reference's slot 0
+    (memory_pool.py:82-84). The token slot of logical position t in page p is
+    p * page_size + t % page_size. page_size == 1 reproduces the reference's
+    token-granular accounting exactly.
+    """
+
+    def __init__(self, num_tokens: int, page_size: int):
+        assert num_tokens % page_size == 0, (num_tokens, page_size)
+        self.page_size = page_size
+        self.num_pages = num_tokens // page_size
+        self.free_list = np.arange(1, self.num_pages + 1, dtype=np.int32)
+
+    # Token-denominated views (the scheduler's admission math is in tokens,
+    # mirroring the reference's budgets).
+    def available_size(self) -> int:
+        return len(self.free_list) * self.page_size
+
+    def available_pages(self) -> int:
+        return len(self.free_list)
+
+    def alloc_pages(self, need: int) -> Optional[np.ndarray]:
+        if need > len(self.free_list):
+            return None
+        out = self.free_list[:need]
+        self.free_list = self.free_list[need:]
+        return out
+
+    def free_pages(self, page_ids: np.ndarray) -> None:
+        page_ids = np.asarray(page_ids, dtype=np.int32).reshape(-1)
+        if page_ids.size == 0:
+            return
+        self.free_list = np.concatenate([self.free_list, page_ids])
+
+    def clear(self) -> None:
+        self.free_list = np.arange(1, self.num_pages + 1, dtype=np.int32)
+
+    def page_slots(self, page_ids: np.ndarray) -> np.ndarray:
+        """All page_size token slot ids of each page, concatenated:
+        [p0*P, p0*P+1, ..., p1*P, ...]."""
+        P = self.page_size
+        pages = np.asarray(page_ids, np.int32).reshape(-1, 1)
+        return (pages * P + np.arange(P, dtype=np.int32)).reshape(-1)

@@ -197,3 +197,61 @@ class RadixCache:
             total += len(node.value) if node.value is not None else 0
             stack.extend(node.children.values())
         return total
+
+
+class PagedRadixCache:
+    """Page-granular prefix cache: the radix tree over `page_size`-token
+    chunks, with page ids as values.
+
+    The TPU build shares KV at page granularity (the Pallas decode kernel and
+    the PagePool allocator deal in whole pages), so the tree's key units are
+    tuples of page_size token ids and each unit's value is one page id. All
+    token-denominated numbers (match lengths, evictable size) are multiples
+    of page_size. page_size == 1 reproduces the reference's token-granular
+    sharing exactly (/root/reference/radix_cache.py:21-272).
+    """
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self.tree = RadixCache()
+
+    def reset(self) -> None:
+        self.tree.reset()
+
+    @property
+    def root(self):
+        return self.tree.root
+
+    def _chunks(self, token_ids) -> List[tuple]:
+        P = self.page_size
+        n = len(token_ids) // P
+        return [tuple(token_ids[i * P : (i + 1) * P]) for i in range(n)]
+
+    def match_prefix(self, token_ids) -> Tuple[np.ndarray, "TreeNode"]:
+        """Longest cached page-aligned prefix -> (page ids, deepest node)."""
+        return self.tree.match_prefix(self._chunks(token_ids))
+
+    def insert(self, token_ids, page_ids: np.ndarray) -> int:
+        """Insert the full pages of token_ids; returns the already-present
+        prefix length in TOKENS (multiple of page_size). The partial tail
+        (len(token_ids) % page_size tokens) is never inserted — its page
+        stays request-private."""
+        chunks = self._chunks(token_ids)
+        page_ids = np.asarray(page_ids, np.int32)[: len(chunks)]
+        return self.tree.insert(chunks, page_ids) * self.page_size
+
+    def evict(self, num_tokens: int, free_pages: Callable[[np.ndarray], None]):
+        pages = -(-num_tokens // self.page_size)
+        self.tree.evict(pages, free_pages)
+
+    def inc_lock_ref(self, node) -> None:
+        self.tree.inc_lock_ref(node)
+
+    def dec_lock_ref(self, node) -> None:
+        self.tree.dec_lock_ref(node)
+
+    def evictable_size(self) -> int:
+        return self.tree.evictable_size() * self.page_size
+
+    def total_cached_tokens(self) -> int:
+        return self.tree.total_cached_tokens() * self.page_size

@@ -36,12 +36,15 @@ class Request:
     req_pool_idx: Optional[int] = None
     seq_len: int = 0  # current logical length (prompt + committed output + in-flight)
 
-    prefix_indices: np.ndarray = field(
+    # Page ids of the radix-cached prefix (page-granular sharing; the token
+    # count is num_cached_tokens == len(prefix_pages) * page_size).
+    prefix_pages: np.ndarray = field(
         default_factory=lambda: np.empty((0,), np.int32)
     )
     last_node: Optional[Any] = None  # radix TreeNode
     num_cached_tokens: int = 0
     constraint_state: Optional[Any] = None
+    arrival_t: Optional[float] = None  # perf_counter at enqueue (TTFT metric)
 
     is_retracted: bool = False
     # Number of decode results currently in flight on device but not yet
@@ -66,7 +69,7 @@ class Request:
         self.is_retracted = True
         self.inflight_steps = 0
         self.epoch += 1
-        self.prefix_indices = np.empty((0,), np.int32)
+        self.prefix_pages = np.empty((0,), np.int32)
         self.last_node = None
         self.num_cached_tokens = 0
 

@@ -8,6 +8,12 @@ re-architected for the JAX execution model:
 
 - every device step is a bucketed, jitted program (tpusgl/runtime/steps.py);
   the scheduler only builds small int32 host arrays,
+- KV is allocated in whole pages (PagePool) and shared at page granularity
+  (PagedRadixCache), so the Pallas decode kernel streams contiguous pages
+  from HBM; page_size == 1 reproduces the reference's token-granular
+  accounting exactly,
+- the page table lives in the host mirror only and is shipped per step;
+  nothing on device needs re-syncing when the radix cache swaps pages,
 - sampling happens inside the step; the host sees one int32 array per step,
   fetched asynchronously (no per-token `.item()` syncs as in
   scheduler.py:544-545),
@@ -24,26 +30,26 @@ re-architected for the JAX execution model:
   scheduler.py:706-707 — a livelock; we tag submissions with a per-request
   epoch instead).
 
-Known deliberate fix vs the reference: retraction frees
-row[len(prefix_indices):seq_len] (the request-private suffix) rather than
-row[num_cached_tokens:seq_len] (scheduler.py:333-336), which after
-cache_unfinished_req would free tree-owned slots.
+Known deliberate fix vs the reference: retraction frees the request-private
+suffix pages rather than row[num_cached_tokens:seq_len]
+(scheduler.py:333-336), which after cache_unfinished_req would free
+tree-owned slots.
 """
 
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from tpusgl.config import EngineConfig, ModelConfig
 from tpusgl.ops.sampling import SamplingArrays
 from tpusgl.runtime.constraints import make_constraint_state
-from tpusgl.runtime.memory_pool import ReqSlotPool, TokenSlotPool
-from tpusgl.runtime.radix_cache import RadixCache
+from tpusgl.runtime.memory_pool import PagePool, ReqSlotPool
+from tpusgl.runtime.radix_cache import PagedRadixCache
 from tpusgl.runtime.request import Request
 from tpusgl.runtime.sampling_params import SamplingParams
 from tpusgl.runtime.state import EngineState
@@ -63,9 +69,12 @@ class _Submission:
     mode: str  # "prefill" | "decode"
     requests: List[Request]
     epochs: List[int]
-    next_ids_dev: object  # device array: [B_padded] or [K, B_padded]
-    out_loc: np.ndarray  # [B] or [B, K] slots allocated for the new tokens
+    next_ids_dev: object  # device array: [1] (prefill) or [K, B_padded]
+    # Per request: (first sequence-page index, newly allocated page ids) —
+    # used to roll back the speculative tail of a decode window.
+    new_pages: List[Tuple[int, np.ndarray]]
     window: int = 1  # decode steps folded into this submission
+    submit_t: float = 0.0
 
 
 class Scheduler:
@@ -82,10 +91,11 @@ class Scheduler:
         self.model_cfg = model_cfg
         self.cfg = engine_cfg
         self.tokenizer = tokenizer
+        self.P = engine_cfg.page_size
 
         self.req_pool = ReqSlotPool(engine_cfg.max_requests, engine_cfg.max_context_len)
-        self.token_pool = TokenSlotPool(engine_cfg.max_total_tokens)
-        self.tree = RadixCache()
+        self.page_pool = PagePool(engine_cfg.max_total_tokens, self.P)
+        self.tree = PagedRadixCache(self.P)
 
         self.waiting: List[Request] = []
         self.decoding: List[Request] = []
@@ -110,7 +120,7 @@ class Scheduler:
 
     def reset(self) -> None:
         self.req_pool.clear()
-        self.token_pool.clear()
+        self.page_pool.clear()
         self.tree.reset()
         self.waiting.clear()
         self.decoding.clear()
@@ -124,6 +134,24 @@ class Scheduler:
             prefill_tokens=0, cached_tokens=0, retractions=0,
         )
 
+    def make_request(
+        self, ids: Sequence[int], sampling: SamplingParams
+    ) -> Request:
+        return Request(
+            input_ids=[int(t) for t in ids],
+            max_new_tokens=min(sampling.max_new_tokens, self.cfg.max_total_tokens),
+            eos_id=sampling.eos_id,
+            temperature=sampling.temperature,
+            top_k=sampling.top_k,
+            top_p=sampling.top_p,
+            do_sample=sampling.do_sample,
+            repetition_penalty=sampling.repetition_penalty,
+            constraint_state=make_constraint_state(
+                sampling.json_schema, self.tokenizer
+            ),
+            arrival_t=time.perf_counter(),
+        )
+
     def run_batch(
         self,
         requests: Sequence[Sequence[int]],
@@ -134,37 +162,20 @@ class Scheduler:
         run_batch_overlap, scheduler.py:99-169, 599-698)."""
         if sampling is None:
             sampling = SamplingParams()
-        if overlap is None:
-            overlap = self.cfg.enable_overlap
-
-        self.waiting.clear()
-        self.decoding.clear()
-        self.finished.clear()
-        self.est_new_token_ratio = self.cfg.new_token_ratio_init
-
-        order: List[Request] = []
-        for ids in requests:
-            req = Request(
-                input_ids=[int(t) for t in ids],
-                max_new_tokens=min(sampling.max_new_tokens, self.cfg.max_total_tokens),
-                eos_id=sampling.eos_id,
-                temperature=sampling.temperature,
-                top_k=sampling.top_k,
-                top_p=sampling.top_p,
-                do_sample=sampling.do_sample,
-                repetition_penalty=sampling.repetition_penalty,
-                constraint_state=make_constraint_state(
-                    sampling.json_schema, self.tokenizer
-                ),
-            )
-            self.waiting.append(req)
-            order.append(req)
+        order = [self.make_request(ids, sampling) for ids in requests]
         if not order:
             return []
+        self.waiting.extend(order)
+        self.run_until_done(overlap)
+        return [req.output_ids for req in order]
 
+    def run_until_done(self, overlap: Optional[bool] = None) -> None:
+        """Step until every queued request is finished."""
+        if overlap is None:
+            overlap = self.cfg.enable_overlap
         pending: Optional[_Submission] = None
         while True:
-            if len(self.finished) == len(order) and pending is None:
+            if not self.waiting and not self.decoding and pending is None:
                 break
 
             batch, mode = self._select_batch()
@@ -183,8 +194,6 @@ class Scheduler:
                 pending = None
                 batch, mode = self._select_batch()
                 if mode == "error":
-                    # all finished -> loop top breaks; genuine OOM -> the
-                    # next iteration raises through the normal error path
                     continue
 
             submitted: Optional[_Submission] = None
@@ -200,8 +209,6 @@ class Scheduler:
             if pending is not None and not overlap:
                 self._commit(pending)
                 pending = None
-
-        return [req.output_ids for req in order]
 
     def run_batch_static(
         self,
@@ -230,16 +237,16 @@ class Scheduler:
         return [], "error"
 
     def _try_select_prefill(self) -> List[Request]:
-        """Token-budget admission (scheduler.py:258-301)."""
+        """Token-budget admission (scheduler.py:258-301). Prefix matches are
+        page-granular; all lengths below stay token-denominated."""
         for req in self.waiting:
             # Never let the cache cover the full input so at least one token
             # runs through the model (scheduler.py:264-268).
-            req.prefix_indices, req.last_node = self.tree.match_prefix(
-                req.full_ids[:-1]
-            )
-            req.num_cached_tokens = len(req.prefix_indices)
+            pages, req.last_node = self.tree.match_prefix(req.full_ids[:-1])
+            req.prefix_pages = pages
+            req.num_cached_tokens = len(pages) * self.P
 
-        self.waiting.sort(key=lambda r: len(r.prefix_indices), reverse=True)
+        self.waiting.sort(key=lambda r: r.num_cached_tokens, reverse=True)
 
         num_req_available = self.req_pool.available_size()
         r = self.est_new_token_ratio
@@ -250,7 +257,7 @@ class Scheduler:
             )
             for req in self.decoding
         )
-        rem_tokens = self.token_pool.available_size() - reserved
+        rem_tokens = self.page_pool.available_size() - reserved
 
         can_run: List[Request] = []
         for req in self.waiting:
@@ -276,18 +283,18 @@ class Scheduler:
     def _try_select_decode(self) -> List[Request]:
         """Decode admission with eviction + retraction (scheduler.py:303-369)."""
         bs = len(self.decoding)
-        if bs <= self.token_pool.available_size():
+        if bs <= self.page_pool.available_size():
             self._decay_ratio()
             return list(self.decoding)
 
-        self.tree.evict(bs, self.token_pool.free)
-        if bs <= self.token_pool.available_size():
+        self.tree.evict(bs, self.page_pool.free_pages)
+        if bs <= self.page_pool.available_size():
             self._decay_ratio()
             return list(self.decoding)
 
         while (
             len(self.decoding) * self.cfg.retract_decode_steps
-            > self.token_pool.available_size()
+            > self.page_pool.available_size()
         ):
             if not self.decoding:
                 break
@@ -295,10 +302,10 @@ class Scheduler:
             self._retract(req)
             residual = (
                 len(self.decoding) * self.cfg.retract_decode_steps
-                - self.token_pool.available_size()
+                - self.page_pool.available_size()
             )
             if residual > 0:
-                self.tree.evict(residual, self.token_pool.free)
+                self.tree.evict(residual, self.page_pool.free_pages)
 
         assert self.decoding, "retracted everything; nothing left to decode"
 
@@ -316,14 +323,18 @@ class Scheduler:
             self.cfg.new_token_ratio_min, self.est_new_token_ratio - self._decay
         )
 
+    def _private_pages(self, req: Request) -> np.ndarray:
+        """Page ids owned by the request alone: every page of the mirror row
+        past the (page-aligned) shared prefix."""
+        row = self.req_pool.req_to_token[req.req_pool_idx]
+        starts = np.arange(req.num_cached_tokens, req.seq_len, self.P)
+        return (row[starts] // self.P).astype(np.int32)
+
     def _retract(self, req: Request) -> None:
-        """Free the request-private suffix, unlock the prefix, requeue
+        """Free the request-private suffix pages, unlock the prefix, requeue
         (scheduler.py:320-357; suffix start fixed, see module docstring)."""
         self.metrics["retractions"] += 1
-        private = self.req_pool.row(req.req_pool_idx, req.seq_len)[
-            len(req.prefix_indices) :
-        ]
-        self.token_pool.free(private)
+        self.page_pool.free_pages(self._private_pages(req))
         self.req_pool.free(req.req_pool_idx)
         if req.last_node is not None:
             self.tree.dec_lock_ref(req.last_node)
@@ -332,44 +343,59 @@ class Scheduler:
 
     # -------------------------------------------------------------- execution
 
+    def _alloc_pages_evicting(self, n_pages: int) -> Optional[np.ndarray]:
+        pages = self.page_pool.alloc_pages(n_pages)
+        if pages is None:
+            self.tree.evict(n_pages * self.P, self.page_pool.free_pages)
+            pages = self.page_pool.alloc_pages(n_pages)
+        return pages
+
     def _run_prefill(self, batch: List[Request]) -> _Submission:
         """Prefill the admitted set, one [1, S]-bucketed step per request
         (the reference packs a ragged concat, scheduler.py:381-452; dense
         per-request steps keep shapes static for XLA)."""
         next_ids_list = []
-        out_locs = []
+        P = self.P
         C = self.cfg.max_context_len
         for req in batch:
             prompt = req.full_ids
-            ext = len(prompt) - req.num_cached_tokens
+            L = len(prompt)
+            cached = req.num_cached_tokens
+            ext = L - cached
             assert ext >= 1
             req_idx = self.req_pool.alloc()
             if req_idx is None:
                 raise RuntimeError("Failed to allocate request slot")
 
-            slots = self.token_pool.alloc(ext)
-            if slots is None:
-                self.tree.evict(ext, self.token_pool.free)
-                slots = self.token_pool.alloc(ext)
-            if slots is None:
-                avail = self.token_pool.available_size() + self.tree.evictable_size()
+            n_pages = -(-(L - cached) // P)
+            pages = self._alloc_pages_evicting(n_pages)
+            if pages is None:
+                avail = (
+                    self.page_pool.available_size() + self.tree.evictable_size()
+                )
                 raise RuntimeError(f"Prefill OOM: need {ext}, available {avail}")
 
-            # Build the full page-table row on host (mirror is authoritative).
+            # Build the page-aligned mirror row (host is authoritative). The
+            # full span of every owned page is written — positions past L in
+            # the last partial page are the slots later decode steps append to.
             row = np.zeros((C,), np.int32)
-            row[: req.num_cached_tokens] = req.prefix_indices
-            row[req.num_cached_tokens : len(prompt)] = slots
+            if cached:
+                row[:cached] = self.page_pool.page_slots(req.prefix_pages)
+            span = self.page_pool.page_slots(pages)
+            stop = min(cached + len(span), C)
+            row[cached:stop] = span[: stop - cached]
+            own_slots = span[: L - cached]
             self.req_pool.req_to_token[req_idx] = row
             req.req_pool_idx = req_idx
-            req.seq_len = len(prompt)
+            req.seq_len = L
             req.is_retracted = False
 
             S = pick_bucket(ext, self.cfg.prefill_len_buckets)
-            kv_len = self._kv_bucket(len(prompt))
+            kv_len = self._kv_bucket(L)
             ids_pad = np.zeros((1, S), np.int32)
-            ids_pad[0, :ext] = prompt[req.num_cached_tokens :]
+            ids_pad[0, :ext] = prompt[cached:]
             loc_pad = np.zeros((1, S), np.int32)
-            loc_pad[0, :ext] = slots
+            loc_pad[0, :ext] = own_slots
 
             penalty_ids = self._penalty_ids(req)
             cmask = self._constraint_mask([req])
@@ -378,20 +404,19 @@ class Scheduler:
                 S, kv_len, self.state,
                 np.array([req_idx], np.int32),
                 ids_pad,
-                row[None, :],
-                np.array([len(prompt)], np.int32),
-                np.array([req.num_cached_tokens], np.int32),
+                row[None, :kv_len],
+                np.array([L], np.int32),
+                np.array([cached], np.int32),
                 loc_pad,
                 self._samp_arrays([req]),
                 penalty_ids,
                 cmask,
                 simple=self._is_simple([req]) and not req.output_ids,
             )
-            next_ids_list.append(next_ids)
-            out_locs.append(slots[-1] if ext > 0 else 0)
+            next_ids_list.append((next_ids, (cached // P, pages)))
             self.metrics["prefill_steps"] += 1
             self.metrics["prefill_tokens"] += ext
-            self.metrics["cached_tokens"] += req.num_cached_tokens
+            self.metrics["cached_tokens"] += cached
 
         # Eager queue transition (scheduler.py:676-681): decode may be
         # scheduled before these commits; inputs come from device last_token.
@@ -402,25 +427,25 @@ class Scheduler:
                 self.decoding.append(req)
             req.inflight_steps += 1
 
-        stacked = jnp.concatenate(next_ids_list)
         return _Submission(
             mode="prefill",
             requests=list(batch),
             epochs=[r.epoch for r in batch],
-            next_ids_dev=stacked,
-            out_loc=np.array(out_locs, np.int32),
+            next_ids_dev=[t for t, _ in next_ids_list],
+            new_pages=[p for _, p in next_ids_list],
+            submit_t=time.perf_counter(),
         )
 
     def _pick_window(self, batch: List[Request]) -> int:
         """How many decode steps to fold into one program. Constrained
         requests need a fresh host mask every token -> 1; otherwise bounded
-        by config, per-request context-row headroom, and free KV slots."""
+        by config, per-request context-row headroom, and free KV pages."""
         K = self.cfg.decode_window
         if K <= 1 or any(r.constraint_state is not None for r in batch):
             return 1
         for req in batch:
             K = min(K, self.cfg.max_context_len - req.seq_len)
-        K = min(K, max(1, self.token_pool.available_size() // len(batch)))
+        K = min(K, max(1, self.page_pool.available_size() // max(1, len(batch))))
         return max(1, K)
 
     def _run_decode(self, batch: List[Request]) -> _Submission:
@@ -429,46 +454,53 @@ class Scheduler:
         scheduler.py:454-546). Tokens generated past eos/max_new inside the
         window are rolled back at commit."""
         B = len(batch)
+        P = self.P
         K = self._pick_window(batch)
-        slots = self.token_pool.alloc(B * K)
-        if slots is None:
-            raise RuntimeError("Failed to allocate KV slots for decode")
-        slots = slots.reshape(B, K)
 
         Bb = pick_bucket(B, self.cfg.decode_bs_buckets)
         R = self.cfg.max_requests  # dummy row index
+        pps = self.cfg.pages_per_seq
         req_indices = np.full((Bb,), R, np.int32)
-        seq_lens0 = np.ones((Bb,), np.int32)
+        seq_lens0 = np.zeros((Bb,), np.int32)
         out_loc = np.zeros((Bb, K), np.int32)
+        page_tbl = np.zeros((Bb, pps), np.int32)
 
         max_len = 0
+        batch_pages: List[Tuple[int, np.ndarray]] = []
         for i, req in enumerate(batch):
             assert req.req_pool_idx is not None
-            self.req_pool.req_to_token[
-                req.req_pool_idx, req.seq_len : req.seq_len + K
-            ] = slots[i]
+            row = self.req_pool.req_to_token[req.req_pool_idx]
+            # New pages for positions [seq_len, seq_len + K) (the current
+            # partial page, if any, was allocated earlier).
+            first_new_page = -(-req.seq_len // P)
+            last_page = (req.seq_len + K - 1) // P
+            n_new = last_page - first_new_page + 1 if last_page >= first_new_page else 0
+            pages = np.empty((0,), np.int32)
+            if n_new > 0:
+                pages = self._alloc_pages_evicting(n_new)
+                if pages is None:
+                    raise RuntimeError("Failed to allocate KV pages for decode")
+                start = first_new_page * P
+                stop = min((last_page + 1) * P, self.cfg.max_context_len)
+                row[start:stop] = self.page_pool.page_slots(pages)[: stop - start]
+            batch_pages.append((first_new_page, pages))
+
+            out_loc[i] = row[req.seq_len : req.seq_len + K]
             req.seq_len += K
             req_indices[i] = req.req_pool_idx
             seq_lens0[i] = req.seq_len - K + 1  # length incl. first new token
-            out_loc[i] = slots[i]
+            page_tbl[i] = row[::P] // P
             max_len = max(max_len, req.seq_len)
             req.inflight_steps += 1
 
         kv_len = self._kv_bucket(max_len)
         samp = self._samp_arrays(batch, padded=Bb)
         simple = self._is_simple(batch)
-        if K == 1:
-            cmask = self._constraint_mask(batch, padded=Bb)
-            self.state, next_ids = self.steps.decode_with_kv_len(
-                kv_len, self.state, req_indices, seq_lens0, out_loc[:, 0],
-                samp, cmask, simple=simple,
-            )
-            next_ids = next_ids[None, :]  # [1, Bb]
-        else:
-            self.state, next_ids = self.steps.decode_multi(
-                kv_len, K, self.state, req_indices, seq_lens0, out_loc, samp,
-                simple=simple,
-            )
+        cmask = self._constraint_mask(batch, padded=Bb) if K == 1 else None
+        self.state, next_ids = self.steps.decode(
+            kv_len, K, self.state, req_indices, seq_lens0, out_loc, page_tbl,
+            samp, cmask, simple=simple,
+        )
         self.metrics["decode_steps"] += 1
         self.metrics["decode_tokens"] += B * K
         return _Submission(
@@ -476,7 +508,7 @@ class Scheduler:
             requests=list(batch),
             epochs=[r.epoch for r in batch],
             next_ids_dev=next_ids,
-            out_loc=slots,
+            new_pages=batch_pages,
             window=K,
         )
 
@@ -545,14 +577,16 @@ class Scheduler:
         the reference's _process_results (scheduler.py:548-589) and
         _process_results_overlap (scheduler.py:700-761), generalized to
         decode windows."""
-        next_ids = np.asarray(sub.next_ids_dev)  # D2H sync point
-
         if sub.mode == "prefill":
             for i, req in enumerate(sub.requests):
+                next_id = int(np.asarray(sub.next_ids_dev[i])[0])  # D2H sync
                 if req.epoch != sub.epochs[i]:
                     continue  # submitted before a retraction; discard
                 req.inflight_steps -= 1
-                next_id = int(next_ids[i])
+                if req.arrival_t is not None and not req.output_ids:
+                    self.metrics["ttft_s"].append(
+                        time.perf_counter() - req.arrival_t
+                    )
                 req.output_ids.append(next_id)
                 req.finished = len(req.output_ids) >= req.max_new_tokens or (
                     req.eos_id != -1 and next_id == req.eos_id
@@ -569,16 +603,18 @@ class Scheduler:
             return
 
         # decode: next_ids is [K, B]
+        next_ids = np.asarray(sub.next_ids_dev)  # D2H sync point
         K = sub.window
         for i, req in enumerate(sub.requests):
             if req.epoch != sub.epochs[i]:
-                continue  # retracted mid-flight; its slots were freed there
+                continue  # retracted mid-flight; its pages were freed there
             req.inflight_steps -= 1
 
             if req.finished:
-                # Whole window was speculative for an already-finished
-                # request (scheduler.py:740-746, generalized).
-                self.token_pool.free(sub.out_loc[i].reshape(-1))
+                # Whole window was speculative for a request that finished in
+                # an earlier commit (scheduler.py:740-746, generalized).
+                # _cache_finished already freed this window's pages (seq_len
+                # covered every in-flight window at that point).
                 continue
 
             accepted = 0
@@ -591,11 +627,11 @@ class Scheduler:
                 ):
                     req.finished = True
                     break
-            if accepted < K:
-                # Roll back the speculative tail of the window.
-                self.token_pool.free(sub.out_loc[i, accepted:])
-                req.seq_len -= K - accepted
-
+            # accepted < K only happens via the finish break, and
+            # _cache_finished frees every private page past the inserted
+            # span (its tail range runs to req.seq_len, which covers this
+            # window's speculative tail and any newer in-flight window) —
+            # no separate rollback bookkeeping is needed.
             if req.finished:
                 self._cache_finished(req)
                 self.finished.append(req)
@@ -605,45 +641,56 @@ class Scheduler:
     # ------------------------------------------------------------- radix glue
 
     def _cache_finished(self, req: Request) -> None:
-        """radix_cache.py:142-172 semantics over the host mirror."""
+        """radix_cache.py:142-172 semantics over the host mirror, page-
+        granular: insert all full pages of prompt+output[:-1]; free pages
+        that duplicate existing tree pages and the partial tail page."""
+        P = self.P
         token_ids = req.full_ids[:-1] if req.output_ids else list(req.input_ids)
-        if not token_ids:
-            self.req_pool.free(req.req_pool_idx)
-            self.tree.dec_lock_ref(req.last_node)
-            req.req_pool_idx = None
-            return
-        kv_indices = self.req_pool.row(req.req_pool_idx, len(token_ids)).copy()
-        new_prefix_len = self.tree.insert(token_ids, kv_indices)
-        if new_prefix_len > len(req.prefix_indices):
-            self.token_pool.free(kv_indices[len(req.prefix_indices) : new_prefix_len])
+        n_tok = len(token_ids)
+        row = self.req_pool.req_to_token[req.req_pool_idx]
+        n_ins = n_tok // P
+        cached_pages = req.num_cached_tokens // P
+
+        if n_ins > 0:
+            page_vals = (row[0 : n_ins * P : P] // P).astype(np.int32)
+            matched_tokens = self.tree.insert(token_ids, page_vals)
+            dup = page_vals[cached_pages : matched_tokens // P]
+            self.page_pool.free_pages(dup)
+        # Pages wholly past the inserted span (partial tail + any window
+        # over-allocation) are request-private: free them. KV written there
+        # is recomputed on a future prefix hit past the page boundary.
+        tail_starts = np.arange(n_ins * P, req.seq_len, P)
+        if len(tail_starts):
+            self.page_pool.free_pages((row[tail_starts] // P).astype(np.int32))
+
         self.req_pool.free(req.req_pool_idx)
         self.tree.dec_lock_ref(req.last_node)
         req.req_pool_idx = None
         req.last_node = None
 
     def _cache_unfinished(self, req: Request, token_ids: List[int]) -> None:
-        """radix_cache.py:174-205 semantics; re-syncs the device page-table
-        row when slot indices were swapped to canonical tree copies."""
-        if not token_ids:
+        """radix_cache.py:174-205 semantics, page-granular: insert the full
+        pages of the prompt, swap the mirror row to the canonical tree pages,
+        move the lock. No device sync needed — the page table is shipped per
+        step from the mirror."""
+        P = self.P
+        n_ins = len(token_ids) // P
+        if n_ins == 0:
             return
-        kv_indices = self.req_pool.row(req.req_pool_idx, len(token_ids)).copy()
-        new_prefix_len = self.tree.insert(token_ids, kv_indices)
-        if new_prefix_len > len(req.prefix_indices):
-            self.token_pool.free(kv_indices[len(req.prefix_indices) : new_prefix_len])
+        row = self.req_pool.req_to_token[req.req_pool_idx]
+        page_vals = (row[0 : n_ins * P : P] // P).astype(np.int32)
+        cached_pages = req.num_cached_tokens // P
 
-        new_indices, new_last_node = self.tree.match_prefix(token_ids)
-        assert len(new_indices) == len(token_ids), (
-            len(new_indices), len(token_ids),
-        )
-        changed = not np.array_equal(kv_indices, new_indices)
-        if changed:
-            self.req_pool.write_row(req.req_pool_idx, new_indices)
-            self.state = self.steps.write_table_row(
-                self.state,
-                np.int32(req.req_pool_idx),
-                self.req_pool.req_to_token[req.req_pool_idx],
-            )
+        matched_tokens = self.tree.insert(token_ids, page_vals)
+        dup = page_vals[cached_pages : matched_tokens // P]
+        self.page_pool.free_pages(dup)
+
+        new_pages, new_last_node = self.tree.match_prefix(token_ids)
+        assert len(new_pages) == n_ins, (len(new_pages), n_ins)
+        if not np.array_equal(page_vals, new_pages):
+            row[: n_ins * P] = self.page_pool.page_slots(new_pages)
         self.tree.dec_lock_ref(req.last_node)
         self.tree.inc_lock_ref(new_last_node)
-        req.prefix_indices = new_indices
+        req.prefix_pages = np.asarray(new_pages, np.int32)
+        req.num_cached_tokens = n_ins * P
         req.last_node = new_last_node

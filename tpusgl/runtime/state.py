@@ -3,11 +3,9 @@
 All mutable device-side serving state lives in one donated pytree:
 
 - the paged KV pool (reference: MHATokenToKVPool slabs,
-  /root/reference/memory_pool.py:104-171) as two [L, slots+1, Hkv, D] arrays
-  with slot 0 reserved as the dummy write target for padding
-  (memory_pool.py:82-84),
-- the request->token page table (ReqToTokenPool, memory_pool.py:7-44) with an
-  extra dummy row (index == max_requests) for padded batch rows,
+  /root/reference/memory_pool.py:104-171) as per-layer
+  [(num_pages+1)*page_size, Hkv*2*D] arrays with page 0 reserved as the dummy
+  write target for padding (generalizing slot 0, memory_pool.py:82-84),
 - `last_token`: the on-device future-token buffer that replaces the
   reference's negative-future-id map + second CUDA stream
   (overlap_worker.py:40-44, 73-96): step N writes its sampled token here and
@@ -17,7 +15,10 @@ All mutable device-side serving state lives in one donated pytree:
   repetition penalty on device (sample.py:19-37 does this on host),
 - the sampling PRNG key.
 
-Free lists and the radix tree stay host-side (tpusgl/runtime/memory_pool.py).
+The request->token page table (ReqToTokenPool, memory_pool.py:7-44) lives
+host-side only (runtime/memory_pool.ReqSlotPool); each step receives the
+small int32 page-table rows it needs as inputs, so there is no device table
+to keep in sync. Free lists and the radix tree are host-side too.
 """
 
 from __future__ import annotations
@@ -32,9 +33,8 @@ from tpusgl.ops.attention import make_kv_pool
 
 
 class EngineState(NamedTuple):
-    kv: tuple                 # L x [slots+1, Hkv*2*D] (per-layer, k/v fused)
-    kv_scale: Optional[tuple]  # L x [slots+1, Hkv*2] f32 when kv int8
-    req_to_token: jnp.ndarray  # [max_requests+1, max_context_len] int32
+    kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
+    kv_scale: Optional[tuple]  # L x [(num_pages+1)*P, Hkv*2] f32 when kv int8
     last_token: jnp.ndarray    # [max_requests+1] int32
     presence: jnp.ndarray      # [max_requests+1, vocab] bool
     rng: jax.Array
@@ -51,17 +51,18 @@ def init_state(
     D = model_cfg.head_dim
     slots = engine_cfg.max_total_tokens
     R = engine_cfg.max_requests
-    C = engine_cfg.max_context_len
+    P = engine_cfg.page_size
 
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
-    kv = make_kv_pool(L, slots, Hkv, D, store_dtype)
-    scale_shape = (slots + 1, Hkv * 2)
+    kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
+    scale_rows = kv[0].shape[0]
     return EngineState(
         kv=kv,
-        kv_scale=tuple(jnp.zeros(scale_shape, jnp.float32) for _ in range(L))
+        kv_scale=tuple(
+            jnp.zeros((scale_rows, Hkv * 2), jnp.float32) for _ in range(L)
+        )
         if quant_kv else None,
-        req_to_token=jnp.zeros((R + 1, C), jnp.int32),
         last_token=jnp.zeros((R + 1,), jnp.int32),
         presence=jnp.zeros((R + 1, model_cfg.vocab_size), jnp.bool_),
         rng=jax.random.PRNGKey(seed),

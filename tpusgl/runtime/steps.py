@@ -1,14 +1,23 @@
 """Jitted prefill/decode step functions.
 
 These are the only places host and device meet on the hot path. Each step is a
-single donated-state XLA program: page-table update, model forward (with KV
-scatter inside attention), last-token logits, and fused sampling — replacing
-the reference's step pipeline of separate model forward + host-side sampling
-loop + `.item()` syncs (/root/reference/scheduler.py:151-163, 509-546).
+single donated-state XLA program: model forward (with KV scatter inside
+attention), last-token logits, and fused sampling — replacing the reference's
+step pipeline of separate model forward + host-side sampling loop + `.item()`
+syncs (/root/reference/scheduler.py:151-163, 509-546).
+
+Page tables are step INPUTS (small int32 arrays built from the host mirror,
+tpusgl/runtime/memory_pool.ReqSlotPool), not device state — so there is
+nothing to re-sync when the radix cache swaps a request's pages to canonical
+tree copies (cf. the reference's device-side index rewrites,
+radix_cache.py:195-199).
 
 Shapes are bucketed by the caller (tpusgl/utils/bucketing.py); jit caches one
-executable per (batch_bucket, kv_len_bucket). `state` is donated so KV
-scatters and page-table writes happen in place.
+executable per bucket combination. With the Pallas paged-attention kernel
+(`paged_kernel=True`) the decode program reads KV through the page table with
+a DYNAMIC per-sequence trip count, so a single decode executable serves every
+context length — kv-length bucketing (and its recompiles) exists only on the
+jnp fallback path. `state` is donated so KV scatters happen in place.
 
 Decode input ids are gathered on device from `state.last_token`, which is how
 the overlap schedule works without threads: the host can submit step N+1
@@ -26,7 +35,7 @@ import jax.numpy as jnp
 
 from tpusgl.config import EngineConfig, ModelConfig
 from tpusgl.models import qwen2
-from tpusgl.ops.attention import AttnMeta, chunked_attention
+from tpusgl.ops.attention import AttnMeta, chunked_attention, rows_from_pages
 from tpusgl.ops.sampling import SamplingArrays, sample_tokens, sample_tokens_simple
 from tpusgl.runtime.state import EngineState
 
@@ -41,98 +50,47 @@ class StepFunctions:
         engine_cfg: EngineConfig,
         attn_impl: Callable = chunked_attention,
         sample_k_cap: int = 1024,
-        unroll_layers: Optional[bool] = None,
+        paged_kernel: bool = False,
     ):
         self.params = params
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
         self.attn_impl = attn_impl
         self.sample_k_cap = min(sample_k_cap, model_cfg.vocab_size)
-        self.unroll_layers = (
-            engine_cfg.unroll_layers if unroll_layers is None else unroll_layers
-        )
+        # True when attn_impl consumes meta.page_tbl directly (Pallas paged
+        # kernel); False -> derive token rows for the jnp gather path.
+        self.paged_kernel = paged_kernel
         self._decode_jit = {}
         self._prefill_jit = {}
 
+    def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
+        """AttnMeta for one decode iteration. kv_len only bounds the jnp
+        gather; the Pallas kernel's per-sequence loop is dynamic."""
+        B = seq_lens.shape[0]
+        P = self.engine_cfg.page_size
+        kv_rows = None
+        if not self.paged_kernel:
+            kv_rows = rows_from_pages(page_tbl, kv_len, P)
+        return AttnMeta(
+            kv_rows=kv_rows,
+            seq_lens=seq_lens,
+            ext_lens=jnp.ones((B,), jnp.int32),
+            positions=(seq_lens - 1)[:, None],
+            out_loc=out_loc_step[:, None],
+            page_tbl=page_tbl if self.paged_kernel else None,
+        )
+
     # ------------------------------------------------------------------ decode
 
-    def make_decode_fn(self, kv_len: int, simple: bool = False):
-        """The raw (unjitted) decode step — also used by __graft_entry__ for
-        driver compile checks. `simple` selects the fast sampling path (no
-        top-k/top-p/penalty anywhere in the batch)."""
-        cfg = self.model_cfg
+    def make_decode_fn(self, kv_len: int, window: int, simple: bool = False):
+        """The raw (unjitted) decode program covering `window` steps.
 
-        def decode_step(
-            params,
-            state: EngineState,
-            req_indices: jnp.ndarray,  # [B] i32 (padding rows == max_requests)
-            seq_lens: jnp.ndarray,     # [B] i32, already advanced (+1)
-            out_loc: jnp.ndarray,      # [B] i32 KV slot for the new token
-            samp: SamplingArrays,
-            cmask: Optional[jnp.ndarray],  # [B, V] additive or None
-        ) -> Tuple[EngineState, jnp.ndarray]:
-            B = req_indices.shape[0]
-            rt = state.req_to_token.at[req_indices, seq_lens - 1].set(out_loc)
-            input_ids = state.last_token[req_indices][:, None]
-            kv_rows = rt[req_indices, :kv_len]
-            positions = (seq_lens - 1)[:, None]
-            meta = AttnMeta(
-                kv_rows=kv_rows,
-                seq_lens=seq_lens,
-                ext_lens=jnp.ones((B,), jnp.int32),
-                positions=positions,
-                out_loc=out_loc[:, None],
-            )
-            last_hidden, kv = qwen2.forward(
-                params, cfg, input_ids, meta, state.kv,
-                attn_impl=self.attn_impl,
-            )
-            logits = qwen2.lm_head_logits(params, cfg, last_hidden)
-
-            rng, sub = jax.random.split(state.rng)
-            if simple:
-                next_ids = sample_tokens_simple(sub, logits, samp)
-                presence = state.presence
-            else:
-                presence_rows = state.presence[req_indices]
-                next_ids = sample_tokens(
-                    sub, logits, samp, presence_rows, cmask,
-                    k_cap=self.sample_k_cap,
-                )
-                presence = state.presence.at[req_indices, next_ids].set(True)
-            last_token = state.last_token.at[req_indices].set(next_ids)
-            new_state = state._replace(
-                kv=kv, req_to_token=rt,
-                last_token=last_token, presence=presence, rng=rng,
-            )
-            return new_state, next_ids
-
-        return decode_step
-
-    def decode_with_kv_len(
-        self, kv_len: int, state, req_indices, seq_lens, out_loc, samp,
-        cmask=None, simple: bool = False,
-    ) -> Tuple[EngineState, jnp.ndarray]:
-        simple = simple and cmask is None
-        key = (int(req_indices.shape[0]), kv_len, cmask is not None, simple)
-        fn = self._decode_jit.get(key)
-        if fn is None:
-            fn = jax.jit(self.make_decode_fn(kv_len, simple), donate_argnums=(1,))
-            self._decode_jit[key] = fn
-        return fn(self.params, state, req_indices, seq_lens, out_loc, samp, cmask)
-
-    # -------------------------------------------------- multi-step decode
-
-    def make_decode_multi_fn(self, kv_len: int, window: int, simple: bool = False):
-        """K decode iterations in one program: host dispatch cost is paid once
-        per K tokens instead of per token. Inputs of step k+1 come from the
-        in-graph last_token buffer; page-table entries for all K positions
-        are written as the program progresses. Returns tokens [K, B].
-
-        The window is python-unrolled rather than lax.scan: each step's KV
-        scatter then updates a dead buffer in place, and (observed on the
-        remote TPU toolchain) unrolled programs both compile ~50x faster and
-        avoid scan-carry copies of the multi-GB KV pool."""
+        Multi-step windows amortize host dispatch over K tokens: inputs of
+        step k+1 come from the in-graph last_token buffer. The window is
+        python-unrolled rather than lax.scan: each step's KV scatter then
+        updates a dead buffer in place, and (observed on the remote TPU
+        toolchain) unrolled programs compile ~50x faster and avoid
+        scan-carry copies of the multi-GB KV pool."""
         cfg = self.model_cfg
 
         def decode_multi(
@@ -141,29 +99,20 @@ class StepFunctions:
             req_indices: jnp.ndarray,  # [B] i32 (padding rows == max_requests)
             seq_lens0: jnp.ndarray,    # [B] i32 length incl. first new token
             out_loc: jnp.ndarray,      # [B, K] i32 slots for the K new tokens
+            page_tbl: jnp.ndarray,     # [B, pages_per_seq] i32
             samp: SamplingArrays,
+            cmask: Optional[jnp.ndarray],  # [B, V] additive or None (K==1 only)
         ) -> Tuple[EngineState, jnp.ndarray]:
-            B = req_indices.shape[0]
             kv = state.kv
-            rt, last_token = state.req_to_token, state.last_token
-            presence, rng = state.presence, state.rng
+            last_token, presence, rng = state.last_token, state.presence, state.rng
 
             tokens = []
             for k in range(window):
                 seq_lens = seq_lens0 + k
-                loc_k = out_loc[:, k]
-                rt = rt.at[req_indices, seq_lens - 1].set(loc_k)
+                meta = self._decode_meta(page_tbl, seq_lens, out_loc[:, k], kv_len)
                 input_ids = last_token[req_indices][:, None]
-                meta = AttnMeta(
-                    kv_rows=rt[req_indices, :kv_len],
-                    seq_lens=seq_lens,
-                    ext_lens=jnp.ones((B,), jnp.int32),
-                    positions=(seq_lens - 1)[:, None],
-                    out_loc=loc_k[:, None],
-                )
                 last_hidden, kv = qwen2.forward(
-                    params, cfg, input_ids, meta, kv,
-                    attn_impl=self.attn_impl,
+                    params, cfg, input_ids, meta, kv, attn_impl=self.attn_impl,
                 )
                 logits = qwen2.lm_head_logits(params, cfg, last_hidden)
                 rng, sub = jax.random.split(rng)
@@ -171,7 +120,8 @@ class StepFunctions:
                     next_ids = sample_tokens_simple(sub, logits, samp)
                 else:
                     next_ids = sample_tokens(
-                        sub, logits, samp, presence[req_indices], None,
+                        sub, logits, samp, presence[req_indices],
+                        cmask if k == 0 else None,
                         k_cap=self.sample_k_cap,
                     )
                     presence = presence.at[req_indices, next_ids].set(True)
@@ -179,46 +129,37 @@ class StepFunctions:
                 tokens.append(next_ids)
 
             new_state = state._replace(
-                kv=kv, req_to_token=rt,
-                last_token=last_token, presence=presence, rng=rng,
+                kv=kv, last_token=last_token, presence=presence, rng=rng,
             )
             return new_state, jnp.stack(tokens)  # [K, B]
 
         return decode_multi
 
-    def decode_multi(
+    def decode(
         self, kv_len: int, window: int, state, req_indices, seq_lens0, out_loc,
-        samp, simple: bool = False,
+        page_tbl, samp, cmask=None, simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
-        key = ("multi", int(req_indices.shape[0]), kv_len, window, simple)
+        """Run one decode program; returns (state, tokens [K, B])."""
+        simple = simple and cmask is None
+        if self.paged_kernel:
+            kv_len = self.engine_cfg.max_context_len  # single executable
+        key = (int(req_indices.shape[0]), kv_len, window, cmask is not None, simple)
         fn = self._decode_jit.get(key)
         if fn is None:
             fn = jax.jit(
-                self.make_decode_multi_fn(kv_len, window, simple),
-                donate_argnums=(1,),
+                self.make_decode_fn(kv_len, window, simple), donate_argnums=(1,)
             )
             self._decode_jit[key] = fn
-        return fn(self.params, state, req_indices, seq_lens0, out_loc, samp)
-
-    # ----------------------------------------------------- table maintenance
-
-    def write_table_row(self, state: EngineState, req_idx, row) -> EngineState:
-        """Re-sync one device page-table row from the host mirror (used when
-        cache_unfinished_req swaps slots to canonical tree copies,
-        cf. radix_cache.py:195-199)."""
-        fn = getattr(self, "_write_row_jit", None)
-        if fn is None:
-            def f(state, req_idx, row):
-                return state._replace(
-                    req_to_token=state.req_to_token.at[req_idx].set(row)
-                )
-            fn = self._write_row_jit = jax.jit(f, donate_argnums=(0,))
-        return fn(state, jnp.asarray(req_idx), jnp.asarray(row))
+        return fn(
+            self.params, state, req_indices, seq_lens0, out_loc, page_tbl,
+            samp, cmask,
+        )
 
     # ----------------------------------------------------------------- prefill
 
     def make_prefill_fn(self, kv_len: int, simple: bool = False):
-        """The raw (unjitted) prefill step."""
+        """The raw (unjitted) prefill step (jnp chunked attention: a prefill
+        runs once per request; the per-token hot path is decode)."""
         cfg = self.model_cfg
 
         def prefill_step(
@@ -226,7 +167,7 @@ class StepFunctions:
             state: EngineState,
             req_idx: jnp.ndarray,      # [1] i32
             input_ids: jnp.ndarray,    # [1, S] i32 (padded)
-            table_row: jnp.ndarray,    # [1, C] i32 full page-table row
+            kv_rows: jnp.ndarray,      # [1, T] i32 token rows (mirror slice)
             seq_len: jnp.ndarray,      # [1] i32 total logical len
             prefix_len: jnp.ndarray,   # [1] i32 cached prefix length
             out_loc: jnp.ndarray,      # [1, S] i32 (0 on padding)
@@ -234,13 +175,12 @@ class StepFunctions:
             penalty_ids: jnp.ndarray,  # [1, Kp] i32 prior output ids (pad = V)
             cmask: Optional[jnp.ndarray],
         ) -> Tuple[EngineState, jnp.ndarray]:
-            rt = state.req_to_token.at[req_idx[0]].set(table_row[0])
             S = input_ids.shape[1]
             positions = prefix_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
             positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
             ext_len = seq_len - prefix_len
             meta = AttnMeta(
-                kv_rows=table_row[:, :kv_len],
+                kv_rows=kv_rows,
                 seq_lens=seq_len,
                 ext_lens=ext_len,
                 positions=positions,
@@ -248,7 +188,7 @@ class StepFunctions:
             )
             last_hidden, kv = qwen2.forward(
                 params, cfg, input_ids, meta, state.kv,
-                attn_impl=self.attn_impl,
+                attn_impl=chunked_attention if self.paged_kernel else self.attn_impl,
             )
             logits = qwen2.lm_head_logits(params, cfg, last_hidden)
 
@@ -270,15 +210,14 @@ class StepFunctions:
                 presence = presence.at[req_idx[0], next_ids[0]].set(True)
             last_token = state.last_token.at[req_idx[0]].set(next_ids[0])
             new_state = state._replace(
-                kv=kv, req_to_token=rt,
-                last_token=last_token, presence=presence, rng=rng,
+                kv=kv, last_token=last_token, presence=presence, rng=rng,
             )
             return new_state, next_ids
 
         return prefill_step
 
     def prefill(
-        self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, table_row,
+        self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, kv_rows,
         seq_len, prefix_len, out_loc, samp, penalty_ids, cmask=None,
         simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
@@ -289,6 +228,6 @@ class StepFunctions:
             fn = jax.jit(self.make_prefill_fn(kv_len, simple), donate_argnums=(1,))
             self._prefill_jit[key] = fn
         return fn(
-            self.params, state, req_idx, input_ids, table_row, seq_len,
+            self.params, state, req_idx, input_ids, kv_rows, seq_len,
             prefix_len, out_loc, samp, penalty_ids, cmask,
         )
