@@ -31,6 +31,10 @@ def main() -> None:
     parser.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
     parser.add_argument("--no-overlap", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max-requests", type=int, default=None,
+                        help="concurrent request slots (default: num_seqs, "
+                        "capped at 256)")
+    parser.add_argument("--decode-window", type=int, default=8)
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -46,12 +50,19 @@ def main() -> None:
     from tpusgl.runtime.engine import Engine
     from tpusgl.runtime.sampling_params import SamplingParams
 
+    # Context must hold prompt + all new tokens; pool sized for every request
+    # resident at once (continuous batching still kicks in if it can't be).
+    max_requests = args.max_requests or min(args.num_seqs, 256)
+    ctx = 1 << (args.max_input + args.max_new_tokens - 1).bit_length()
     ecfg = EngineConfig.from_env(
         quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
         enable_overlap=not args.no_overlap,
         kv_len_bucket=512,
-        decode_bs_buckets=(1, 4, 8, 16, 32),
+        max_requests=max_requests,
+        max_total_tokens=max_requests * ctx,
+        decode_bs_buckets=(max_requests,),
         prefill_len_buckets=(128, 256, 512, 1024, 2048, 4096),
+        decode_window=args.decode_window,
     )
     print(f"building engine: {args.model} on {jax.devices()[0].platform} "
           f"(weights {args.weight_dtype}, kv {args.kv_dtype})", file=sys.stderr)
@@ -69,9 +80,11 @@ def main() -> None:
         do_sample=True, eos_id=-1,
     )
 
-    # Warmup with the last prompt (bench.py:46-47), then reset.
+    # Warmup: precompile every bucket the run will hit, then one real request
+    # (the reference warms with one request only, bench.py:46-47).
     print("warmup...", file=sys.stderr)
     t0 = time.perf_counter()
+    engine.warmup(simple=True)
     engine.scheduler.run_batch([prompts[-1]], sp, overlap=not args.no_overlap)
     engine.reset()
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -4,8 +4,7 @@ The #1 kernel called for by SURVEY.md §7: single-query attention over the
 paged KV pool, streaming K/V pages from HBM through the page table instead of
 XLA's row gather (measured 18.7 GB/s effective on v5e at the bench geometry —
 the decode bottleneck; cf. the reference's per-request Python loop at
-/root/reference/attn_backend.py:112-149). This kernel reaches HBM
-speed-of-light (~800 GB/s on v5e) because each DMA moves one whole page —
+/root/reference/attn_backend.py:112-149). Each DMA moves one whole page —
 `page_size` contiguous pool rows — rather than scattered single tokens.
 
 Layout contract (tpusgl/ops/attention.py, tpusgl/runtime/memory_pool.py):
@@ -20,13 +19,16 @@ Layout contract (tpusgl/ops/attention.py, tpusgl/runtime/memory_pool.py):
 
 Kernel structure (pallas_guide.md patterns: scalar prefetch, double-buffered
 DMA, online softmax):
-- grid (B,): one program instance per sequence; accumulators are plain
-  fori_loop carries (never touch scratch memory).
+- grid (B,): one program instance per sequence; softmax accumulators are
+  plain fori_loop carries (never touch scratch memory).
 - per block, `pages_per_block` page DMAs land in one of two VMEM buffers
-  while the previous block computes (double buffering).
-- GQA: q reshaped [Hkv, G, D]; one batched MXU dot per block.
-- int8 KV: dequantized in-kernel with static per-layer k/v scales
-  (quantization_utils-style global scales).
+  while the previous block computes (double buffering), and the LAST block
+  of each sequence prefetches the NEXT sequence's first block — the buffer
+  parity is carried across grid steps in SMEM, so the pipeline never drains
+  at a sequence boundary (this cross-sequence prefetch is worth ~7x at
+  large batch: without it every grid step stalls on its first DMA).
+- GQA: per-kv-head q [G, D] against [N, D] page tiles on the MXU.
+- int8 KV: dequantized in-kernel with static per-layer k/v scales.
 """
 
 from __future__ import annotations
@@ -47,43 +49,47 @@ def _decode_kernel(
     lens_ref,      # SMEM [B] i32 — valid kv tokens per sequence
     tbl_ref,       # SMEM [B, pages_per_seq] i32 — page ids
     # inputs
-    q_ref,         # VMEM [1, Hq, D]
+    q_ref,         # VMEM [SB, Hq, D]
     kv_hbm,        # ANY  [(num_pages+1)*P, Hkv*2*D]
     # outputs
-    out_ref,       # VMEM [1, Hq, D]
+    out_ref,       # VMEM [SB, Hq, D]
     # scratch
     bufs,          # VMEM [2, BP, P, Hkv*2*D]
     sems,          # DMA sems (2,)
+    slot_ref,      # SMEM (1,) i32 — buffer parity carried across grid steps
     *,
+    num_seqs: int,
     num_kv_heads: int,
     head_dim: int,
     page_size: int,
     pages_per_block: int,
     pages_per_seq: int,
+    seqs_per_block: int,
     sm_scale: float,
     k_scale: Optional[float],
     v_scale: Optional[float],
 ):
-    b = pl.program_id(0)
-    kv_len = lens_ref[b]
+    g = pl.program_id(0)
     P = page_size
     BP = pages_per_block
+    SB = seqs_per_block
     N = BP * P  # tokens per block
     Hkv, D = num_kv_heads, head_dim
     Hq = q_ref.shape[1]
     G = Hq // Hkv
 
-    num_blocks = pl.cdiv(kv_len, N)
-    num_valid_pages = pl.cdiv(kv_len, P)
+    def nblocks(seq):
+        return pl.cdiv(lens_ref[seq], N)
 
-    def block_copies(blk, slot):
-        """The BP page DMAs of block `blk` into buffer `slot`. Called once to
+    def block_copies(seq, blk, slot):
+        """The BP page DMAs of (seq, blk) into buffer `slot`. Called once to
         start and once to wait (descriptors are cheap to rebuild; the wait
-        just decrements the same semaphore)."""
+        decrements the same semaphore)."""
+        num_valid = pl.cdiv(lens_ref[seq], P)
         copies = []
         for i in range(BP):
             pidx = jnp.minimum(blk * BP + i, pages_per_seq - 1)
-            pid = jnp.where(blk * BP + i < num_valid_pages, tbl_ref[b, pidx], 0)
+            pid = jnp.where(blk * BP + i < num_valid, tbl_ref[seq, pidx], 0)
             row0 = pl.multiple_of(pid * P, P)
             copies.append(
                 pltpu.make_async_copy(
@@ -92,72 +98,120 @@ def _decode_kernel(
             )
         return copies
 
-    @pl.when(num_blocks > 0)
-    def _start_first():
-        for c in block_copies(0, 0):
+    def start(seq, blk, slot):
+        for c in block_copies(seq, blk, slot):
             c.start()
 
-    def body(blk, carry):
-        m, l, acc = carry  # per-head tuples of [G, 1], [G, 1], [G, D] f32
-        slot = jax.lax.rem(blk, 2)
+    def start_first_of_next(after_b, slot):
+        """Prefetch the first block of the next non-empty sequence after
+        `after_b` (traced). Only the immediate successor is checked without
+        scanning: empty sequences forward the prefetch themselves."""
 
-        @pl.when(blk + 1 < num_blocks)
-        def _prefetch_next():
-            for c in block_copies(blk + 1, jax.lax.rem(blk + 1, 2)):
-                c.start()
+        @pl.when(after_b + 1 < num_seqs)
+        def _():
+            @pl.when(nblocks(after_b + 1) > 0)
+            def _():
+                start(after_b + 1, 0, slot)
 
-        for c in block_copies(blk, slot):
-            c.wait()
+    @pl.when(g == 0)
+    def _bootstrap():
+        slot_ref[0] = 0
 
-        kvb = bufs[slot]  # [BP, P, Hkv*2*D]
-        pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        valid = pos < kv_len  # [1, N]
+        @pl.when(nblocks(0) > 0)
+        def _():
+            start(0, 0, 0)
 
-        m_new, l_new, acc_new = [], [], []
-        # Static loop over kv heads: Mosaic wants plain 2D matmuls. The
-        # minor-dim slice picks one head's K (or V) lanes; the reshape only
-        # merges the leading (page, token) dims.
-        for h in range(Hkv):
-            k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
-            v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
-            if kvb.dtype == jnp.int8:
-                k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
-                v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
-            else:
-                k_h = k_h.astype(jnp.float32)
-                v_h = v_h.astype(jnp.float32)
-            q_h = q_ref[0, h * G : (h + 1) * G, :].astype(jnp.float32)  # [G, D]
+    cur = slot_ref[0]
 
-            s = jax.lax.dot_general(
-                q_h, k_h,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale  # [G, N]
-            s = jnp.where(valid, s, NEG_INF)
+    # SB sequences per grid step: per-grid-step overhead (~6 us of block
+    # copy/sync machinery on this toolchain) is amortized over SB sequences'
+    # KV streams; the double-buffer parity chain runs through all of them.
+    for s in range(SB):
+        b = g * SB + s
+        nb = nblocks(b)
 
-            m_h = jnp.maximum(m[h], jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_h)
-            alpha = jnp.exp(m[h] - m_h)
-            l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p, v_h,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, D]
-            m_new.append(m_h)
-            l_new.append(l_h)
-            acc_new.append(alpha * acc[h] + pv)
-        return tuple(m_new), tuple(l_new), tuple(acc_new)
+        @pl.when(nb == 0)
+        def _empty_seq():
+            # Padding row: keep the cross-sequence pipeline alive.
+            start_first_of_next(b, cur)
+            for h in range(Hkv):
+                out_ref[s, h * G : (h + 1) * G, :] = jnp.zeros(
+                    (G, D), out_ref.dtype
+                )
 
-    init = (
-        tuple(jnp.full((G, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),
-        tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(Hkv)),
-        tuple(jnp.zeros((G, D), jnp.float32) for _ in range(Hkv)),
-    )
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, init)
-    for h in range(Hkv):
-        out_h = acc[h] / jnp.maximum(l[h], 1e-30)
-        out_ref[0, h * G : (h + 1) * G, :] = out_h.astype(out_ref.dtype)
+        @pl.when(nb > 0)
+        def _run():
+            kv_len = lens_ref[b]
+
+            def body(blk, carry):
+                m, l, acc = carry  # per-head tuples [G,1], [G,1], [G,D] f32
+                slot = jax.lax.rem(cur + blk, 2)
+                slot_next = jax.lax.rem(cur + blk + 1, 2)
+
+                @pl.when(blk + 1 < nb)
+                def _prefetch_same():
+                    start(b, blk + 1, slot_next)
+
+                @pl.when(blk + 1 == nb)
+                def _prefetch_next_seq():
+                    start_first_of_next(b, slot_next)
+
+                for c in block_copies(b, blk, slot):
+                    c.wait()
+
+                kvb = bufs[slot]  # [BP, P, Hkv*2*D]
+                pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+                valid = pos < kv_len  # [1, N]
+
+                m_new, l_new, acc_new = [], [], []
+                # Static loop over kv heads: Mosaic wants plain 2D matmuls.
+                # The minor-dim slice picks one head's K (or V) lanes; the
+                # reshape only merges the leading (page, token) dims.
+                for h in range(Hkv):
+                    k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
+                    v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
+                    if kvb.dtype == jnp.int8:
+                        k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
+                        v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
+                    else:
+                        k_h = k_h.astype(jnp.float32)
+                        v_h = v_h.astype(jnp.float32)
+                    q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+
+                    sc = jax.lax.dot_general(
+                        q_h, k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale  # [G, N]
+                    sc = jnp.where(valid, sc, NEG_INF)
+
+                    m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
+                    p = jnp.exp(sc - m_h)
+                    alpha = jnp.exp(m[h] - m_h)
+                    l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p, v_h,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, D]
+                    m_new.append(m_h)
+                    l_new.append(l_h)
+                    acc_new.append(alpha * acc[h] + pv)
+                return tuple(m_new), tuple(l_new), tuple(acc_new)
+
+            init = (
+                tuple(jnp.full((G, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),
+                tuple(jnp.zeros((G, 1), jnp.float32) for _ in range(Hkv)),
+                tuple(jnp.zeros((G, D), jnp.float32) for _ in range(Hkv)),
+            )
+            m, l, acc = jax.lax.fori_loop(0, nb, body, init)
+            for h in range(Hkv):
+                out_h = acc[h] / jnp.maximum(l[h], 1e-30)
+                out_ref[s, h * G : (h + 1) * G, :] = out_h.astype(out_ref.dtype)
+
+        cur = jax.lax.rem(cur + nb, 2)
+
+    slot_ref[0] = cur
 
 
 def paged_decode_attention(
@@ -169,6 +223,7 @@ def paged_decode_attention(
     num_kv_heads: int,
     page_size: int,
     pages_per_block: int = 8,
+    seqs_per_block: int = 16,
     sm_scale: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
@@ -177,6 +232,9 @@ def paged_decode_attention(
     B, Hq, D = q.shape
     pages_per_seq = page_tbl.shape[1]
     BP = min(pages_per_block, pages_per_seq)
+    SB = min(seqs_per_block, B)
+    while B % SB:
+        SB -= 1
     row_width = kv_l.shape[-1]
     assert row_width == num_kv_heads * 2 * D, (row_width, num_kv_heads, D)
     if sm_scale is None:
@@ -184,36 +242,39 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _decode_kernel,
+        num_seqs=B,
         num_kv_heads=num_kv_heads,
         head_dim=D,
         page_size=page_size,
         pages_per_block=BP,
         pages_per_seq=pages_per_seq,
+        seqs_per_block=SB,
         sm_scale=sm_scale,
         k_scale=k_scale,
         v_scale=v_scale,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(B // SB,),
         in_specs=[
-            pl.BlockSpec((1, Hq, D), lambda b, lens, tbl: (b, 0, 0)),
+            pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Hq, D), lambda b, lens, tbl: (b, 0, 0)),
+        out_specs=pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, BP, page_size, row_width), kv_l.dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    bytes_per_seq = row_width * kv_l.dtype.itemsize  # per token
+    bytes_per_tok = row_width * kv_l.dtype.itemsize
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * pages_per_seq * page_size * Hq * D,
-            bytes_accessed=B * pages_per_seq * page_size * bytes_per_seq,
+            bytes_accessed=B * pages_per_seq * page_size * bytes_per_tok,
             transcendentals=B * pages_per_seq * page_size * Hq,
         ),
         interpret=interpret,

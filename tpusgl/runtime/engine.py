@@ -123,6 +123,67 @@ class Engine:
     def reset(self) -> None:
         self.scheduler.reset()
 
+    def warmup(self, simple: Optional[bool] = None) -> None:
+        """Precompile the step executables the serving loop will hit, so no
+        XLA compile lands inside a timed run (the reference warms up by
+        running one full request, bench.py:46-47 — insufficient here because
+        each shape bucket is its own executable).
+
+        Warms every prefill length bucket (with its diagonal kv bucket) and
+        the full-batch decode program at every power-of-two window.
+        `simple` selects the fast-sampling variants (None = both).
+        """
+        import numpy as np
+
+        from tpusgl.ops.sampling import SamplingArrays
+        from tpusgl.utils.bucketing import round_up
+
+        cfg = self.cfg
+        sched = self.scheduler
+        simples = (True, False) if simple is None else (simple,)
+        R = cfg.max_requests  # dummy row
+        P = cfg.page_size
+
+        for s in simples:
+            for S in cfg.prefill_len_buckets:
+                if S > cfg.max_context_len:
+                    continue
+                T = min(round_up(S, cfg.kv_len_bucket), cfg.max_context_len)
+                sched.state, _ = self.steps.prefill(
+                    S, T, sched.state,
+                    np.array([R], np.int32),
+                    np.zeros((1, S), np.int32),
+                    np.zeros((1, T), np.int32),
+                    np.array([1], np.int32),
+                    np.array([0], np.int32),
+                    np.zeros((1, S), np.int32),
+                    SamplingArrays.full(1),
+                    np.full((1, 64), self.model_cfg.vocab_size, np.int32),
+                    None,
+                    simple=s,
+                )
+            Bb = cfg.decode_bs_buckets[-1]
+            windows = {1, cfg.decode_window}
+            k = cfg.decode_window
+            while k > 1:
+                windows.add(k)
+                k >>= 1
+            for K in sorted(windows):
+                sched.state, _ = self.steps.decode(
+                    min(round_up(K, cfg.kv_len_bucket), cfg.max_context_len),
+                    K, sched.state,
+                    np.full((Bb,), R, np.int32),
+                    np.ones((Bb,), np.int32),
+                    np.zeros((Bb, K), np.int32),
+                    np.zeros((Bb, cfg.pages_per_seq), np.int32),
+                    SamplingArrays.full(Bb),
+                    None,
+                    simple=s,
+                )
+        import jax as _jax
+
+        _jax.block_until_ready(sched.state.last_token)
+
     def _encode(self, requests: Sequence[Union[str, Sequence[int]]]) -> List[List[int]]:
         out = []
         for r in requests:

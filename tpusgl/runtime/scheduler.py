@@ -446,7 +446,10 @@ class Scheduler:
         for req in batch:
             K = min(K, self.cfg.max_context_len - req.seq_len)
         K = min(K, max(1, self.page_pool.available_size() // max(1, len(batch))))
-        return max(1, K)
+        K = max(1, K)
+        # Round down to a power of two: each distinct window length is its
+        # own XLA executable, so the set stays {1, 2, 4, ..., decode_window}.
+        return 1 << (K.bit_length() - 1)
 
     def _run_decode(self, batch: List[Request]) -> _Submission:
         """One fused decode program for the whole batch covering `window`
