@@ -96,11 +96,16 @@ def main() -> None:
     total_out = sum(len(o) for o in outs)
     tput = total_out / elapsed
     m = engine.metrics
+    ttft = sorted(m["ttft_s"])
+    pct = lambda p: round(ttft[min(len(ttft) - 1, int(p * len(ttft)))], 3) if ttft else None
     print(
         json.dumps(
             {
                 "total_output_tokens": total_out,
                 "elapsed_s": round(elapsed, 2),
+                "ttft_p50_s": pct(0.50),
+                "ttft_p95_s": pct(0.95),
+                "ttft_p99_s": pct(0.99),
                 "prefill_steps": m["prefill_steps"],
                 "decode_steps": m["decode_steps"],
                 "prefill_tokens": m["prefill_tokens"],

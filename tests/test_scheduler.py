@@ -149,3 +149,23 @@ def test_sampled_decode_reproducible(engine, prompts):
     out1 = engine.generate(prompts[:3], sp)
     assert all(len(o) == 8 for o in out1)
     _assert_pools_conserved(engine)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_generate_stream_matches_generate(engine, prompts, oracle, overlap):
+    """generate_stream yields every token exactly once, in per-request
+    order, and the concatenation equals the batch-generate output."""
+    sp = SamplingParams(max_new_tokens=8, do_sample=False, eos_id=-1)
+    streamed = {i: [] for i in range(len(prompts))}
+    finished = set()
+    for i, new, fin in engine.generate_stream(
+        prompts, sp, enable_overlap=overlap
+    ):
+        assert i not in finished, "tokens after finish event"
+        streamed[i].extend(new)
+        if fin:
+            finished.add(i)
+    assert finished == set(range(len(prompts)))
+    for i, p in enumerate(prompts):
+        assert streamed[i] == oracle[tuple(p)], (i, streamed[i])
+    _assert_pools_conserved(engine)

@@ -218,8 +218,15 @@ class EngineConfig:
     # Parallelism: data-parallel x tensor-parallel mesh shape.
     dp: int = 1
     tp: int = 1
+    # Debug cross-check that all hosts made identical batch decisions each
+    # step (multi-host SPMD determinism, parallel/multihost.py). No-op on a
+    # single process.
+    check_multihost_schedule: bool = False
 
     quant: QuantConfig = field(default_factory=QuantConfig)
+    # Route int8/int4 linears through the Pallas fused dequant+matmul kernel
+    # (ops/quant_matmul.py) on TPU instead of the jnp dequant expression.
+    use_quant_matmul: bool = True
 
     # Overlap schedule (reference overlap_worker.py) — here: async dispatch.
     enable_overlap: bool = False

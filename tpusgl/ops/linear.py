@@ -94,10 +94,28 @@ def dequantize_weight(lin: Linear, dtype: jnp.dtype) -> jnp.ndarray:
     return wf.reshape(*lead, in_dim, out_dim).astype(dtype)
 
 
+# Trace-time switch set by the Engine (EngineConfig.use_quant_matmul): route
+# int8/int4 linears through the Pallas fused dequant+matmul kernel
+# (ops/quant_matmul.py) instead of the jnp dequant-into-dot expression.
+_USE_QUANT_MATMUL = False
+
+
+def enable_quant_matmul(on: bool) -> None:
+    global _USE_QUANT_MATMUL
+    _USE_QUANT_MATMUL = bool(on)
+
+
 def apply_linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
     """x @ w (+ b). Dequant is expressed so XLA can fuse it into the matmul:
     for INT8 per-channel, (x @ w_q) * s == x @ (w_q * s)."""
     w = lin["w"]
+    if w.dtype == jnp.int8 and _USE_QUANT_MATMUL:
+        from tpusgl.ops.quant_matmul import quant_matmul_any
+
+        try:
+            return quant_matmul_any(x, lin)
+        except ValueError:
+            pass  # shape not covered -> jnp path below
     if w.dtype == jnp.int8 and "s" in lin:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
         y = (y * lin["s"]).astype(x.dtype)

@@ -45,19 +45,20 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(
-    # scalar prefetch
-    lens_ref,      # SMEM [B] i32 — valid kv tokens per sequence
-    tbl_ref,       # SMEM [B, pages_per_seq] i32 — page ids
-    # inputs
-    q_ref,         # VMEM [SB, Hq, D]
-    kv_hbm,        # ANY  [(num_pages+1)*P, Hkv*2*D]
-    # outputs
-    out_ref,       # VMEM [SB, Hq, D]
-    # scratch
-    bufs,          # VMEM [2, BP, P, Hkv*2*D]
-    sems,          # DMA sems (2,)
-    slot_ref,      # SMEM (1,) i32 — buffer parity carried across grid steps
-    *,
+    # Positional refs; layout depends on `has_scale` (per-token int8 scales):
+    #   lens_ref   SMEM [B] i32 — valid kv tokens per sequence
+    #   tbl_ref    SMEM [B, pages_per_seq] i32 — page ids
+    #   q_ref      VMEM [SB, Hq, D]
+    #   kv_hbm     ANY  [(num_pages+1)*P, Hkv*2*D]
+    #   scale_hbm  ANY  [num_pages+1, Hkv*2*P] f32         (has_scale only;
+    #              page-major per-token scales, ops/attention.scale_cols)
+    #   out_ref    VMEM [SB, Hq, D]
+    #   bufs       VMEM [2, BP, P, Hkv*2*D] scratch
+    #   sbufs      VMEM [2, BP, 1, Hkv*2*P] f32 scratch    (has_scale only)
+    #   sems       DMA sems (2,)
+    #   slot_ref   SMEM (1,) i32 — buffer parity carried across grid steps
+    *refs,
+    has_scale: bool = False,
     num_seqs: int,
     num_kv_heads: int,
     head_dim: int,
@@ -69,6 +70,13 @@ def _decode_kernel(
     k_scale: Optional[float],
     v_scale: Optional[float],
 ):
+    if has_scale:
+        (lens_ref, tbl_ref, q_ref, kv_hbm, scale_hbm, out_ref,
+         bufs, sbufs, sems, slot_ref) = refs
+    else:
+        (lens_ref, tbl_ref, q_ref, kv_hbm, out_ref,
+         bufs, sems, slot_ref) = refs
+        scale_hbm = sbufs = None
     g = pl.program_id(0)
     P = page_size
     BP = pages_per_block
@@ -96,6 +104,14 @@ def _decode_kernel(
                     kv_hbm.at[pl.ds(row0, P)], bufs.at[slot, i], sems.at[slot]
                 )
             )
+            if has_scale:
+                copies.append(
+                    pltpu.make_async_copy(
+                        scale_hbm.at[pl.ds(pid, 1)],
+                        sbufs.at[slot, i],
+                        sems.at[slot],
+                    )
+                )
         return copies
 
     def start(seq, blk, slot):
@@ -160,6 +176,8 @@ def _decode_kernel(
                     c.wait()
 
                 kvb = bufs[slot]  # [BP, P, Hkv*2*D]
+                # [BP, Hkv*2*P]: per-page scale rows, cols (2h+kv)*P + t
+                svb = sbufs[slot][:, 0, :] if has_scale else None
                 pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
                 valid = pos < kv_len  # [1, N]
 
@@ -183,12 +201,19 @@ def _decode_kernel(
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * sm_scale  # [G, N]
+                    if has_scale:
+                        # Per-token dequant folded into the score/prob columns
+                        # ([1, N] row broadcasts) instead of scaling the [N, D]
+                        # K/V tiles — far fewer multiplies per block.
+                        sc = sc * svb[:, 2 * h * P : (2 * h + 1) * P].reshape(1, N)
                     sc = jnp.where(valid, sc, NEG_INF)
 
                     m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
                     p = jnp.exp(sc - m_h)
                     alpha = jnp.exp(m[h] - m_h)
                     l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+                    if has_scale:
+                        p = p * svb[:, (2 * h + 1) * P : (2 * h + 2) * P].reshape(1, N)
                     pv = jax.lax.dot_general(
                         p, v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -227,6 +252,7 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    kv_scale: Optional[jnp.ndarray] = None,  # [num_pages+1, Hkv*2*P] f32 page-major
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Hq, D = q.shape
@@ -240,8 +266,10 @@ def paged_decode_attention(
     if sm_scale is None:
         sm_scale = D ** -0.5
 
+    has_scale = kv_scale is not None
     kernel = functools.partial(
         _decode_kernel,
+        has_scale=has_scale,
         num_seqs=B,
         num_kv_heads=num_kv_heads,
         head_dim=D,
@@ -253,21 +281,34 @@ def paged_decode_attention(
         k_scale=k_scale,
         v_scale=v_scale,
     )
+    in_specs = [
+        pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, BP, page_size, row_width), kv_l.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    operands = [kv_lens, page_tbl, q, kv_l]
+    if has_scale:
+        assert kv_scale.shape == (kv_l.shape[0] // page_size, row_sw := num_kv_heads * 2 * page_size), (
+            kv_scale.shape, kv_l.shape, page_size)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes.insert(
+            1, pltpu.VMEM((2, BP, 1, row_sw), jnp.float32)
+        )
+        operands.append(kv_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // SB,),
-        in_specs=[
-            pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, BP, page_size, row_width), kv_l.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     bytes_per_tok = row_width * kv_l.dtype.itemsize
+    if has_scale:
+        bytes_per_tok += num_kv_heads * 2 * 4
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -278,7 +319,7 @@ def paged_decode_attention(
             transcendentals=B * pages_per_seq * page_size * Hq,
         ),
         interpret=interpret,
-    )(kv_lens, page_tbl, q, kv_l)
+    )(*operands)
     return out
 
 
@@ -298,17 +339,20 @@ def pallas_attention(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in attn_impl: Pallas paged kernel for decode (S == 1), jnp
     chunked attention for prefill (a prefill runs once per request; decode
-    runs every step for every request)."""
+    runs every step for every request). `kv_l` may be an int8
+    (pool, per-token-scale) pair — see ops.attention.write_kv."""
     from tpusgl.ops.attention import chunked_attention, write_kv
 
     B, S, Hq, D = q.shape
     if S != 1 or meta.page_tbl is None:
         return chunked_attention(layer_idx, q, k_new, v_new, kv_l, meta)
     kv_l = write_kv(k_new, v_new, kv_l, meta.out_loc)
+    buf, kv_scale = kv_l if isinstance(kv_l, tuple) else (kv_l, None)
     out = paged_decode_attention(
-        q[:, 0], kv_l, meta.seq_lens, meta.page_tbl,
+        q[:, 0], buf, meta.seq_lens, meta.page_tbl,
         num_kv_heads=k_new.shape[2], page_size=page_size,
         pages_per_block=pages_per_block,
-        k_scale=k_scale, v_scale=v_scale, interpret=interpret,
+        k_scale=k_scale, v_scale=v_scale, kv_scale=kv_scale,
+        interpret=interpret,
     )
     return out[:, None], kv_l

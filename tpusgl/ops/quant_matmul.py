@@ -1,0 +1,180 @@
+"""Pallas fused dequant+matmul for INT8/INT4 weight-only quantization.
+
+The reference has no quantized matmul at all (fp16 weights; SURVEY.md §2
+"Qwen2 model" row calls for INT8/INT4 dequant+matmul kernels in the build).
+XLA's jnp path (ops/linear.apply_linear) expresses dequant as
+`x @ (w_int8 -> bf16)`; whether the convert stays fused or materializes a
+bf16 weight copy is up to the compiler. This kernel makes the contract
+explicit: the weight tile is DMA'd from HBM in its quantized storage dtype
+(half / quarter the bytes of bf16 — the whole point of weight-only quant for
+memory-bound decode), converted in VMEM, and fed to the MXU.
+
+Blocked matmul, grid (nm, nn, nk), f32 accumulator in VMEM scratch:
+
+- INT8 per-output-channel: out = (x @ w_q) * s, scales applied once on the
+  final k step.
+- INT4 group-wise (group size G along K): requires BK == G so each k step
+  has ONE scale row — out = sum_k gs[k] * (x_k @ wq_k), scale folded into
+  the accumulate. Values are stored as int8 in [-7, 7] (ops/linear.py
+  layout); the 2x HBM saving of true 4-bit packing needs a bit-unpack in
+  kernel and is left as a TODO on the loader side.
+
+Enable via `tpusgl.ops.linear.apply_linear` (engine flag
+EngineConfig.use_quant_matmul); falls back to the jnp path off-TPU or for
+shapes the kernel does not cover.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _qmm_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...].astype(jnp.float32),
+        w_ref[...].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(
+        x_ref[...].astype(jnp.float32),
+        w_ref[...].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # One group per k step (BK == group_size): the group scale is constant
+    # over the tile's K range, so it distributes over the partial product.
+    acc_ref[...] += part * gs_ref[...]
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def quant_matmul(
+    x: jnp.ndarray,            # [M, K] bf16/f32
+    w: jnp.ndarray,            # [K, N] int8 (int8 per-channel or int4-in-int8)
+    s: Optional[jnp.ndarray] = None,   # [N] f32 — int8 per-channel scales
+    gs: Optional[jnp.ndarray] = None,  # [K//G, N] f32 — int4 group scales
+    *,
+    out_dtype=None,
+    bm: int = 128,
+    bn: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out[M, N] = x @ dequant(w). Exactly one of s / gs must be given."""
+    assert (s is None) != (gs is None), "exactly one of s/gs"
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2, (x.shape, w.shape)
+    out_dtype = out_dtype or x.dtype
+
+    if gs is not None:
+        G = K // gs.shape[0]
+        bk = G  # one scale row per k step
+    bm = min(bm, max(8, M))
+    bn = min(bn, N)
+    bk = min(bk, K)
+    # Grid must tile exactly; callers pad M (N/K are model dims, already
+    # multiples of the tile sizes for every supported config).
+    if M % bm or N % bn or K % bk:
+        raise ValueError(f"untileable {M}x{K}x{N} with ({bm},{bn},{bk})")
+    nm, nn, nk = M // bm, N // bn, K // bk
+
+    if s is not None:
+        kernel = functools.partial(_qmm_int8_kernel, nk=nk)
+        scale_op = s.reshape(1, N).astype(jnp.float32)
+        scale_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n))
+    else:
+        kernel = functools.partial(_qmm_int4_kernel, nk=nk)
+        scale_op = gs.astype(jnp.float32)
+        scale_spec = pl.BlockSpec((1, bn), lambda m, n, k: (k, n))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            scale_spec,
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * x.dtype.itemsize + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, scale_op)
+
+
+def _pick_tile(dim: int, cap: int) -> Optional[int]:
+    """Largest lane-aligned tile <= cap that divides dim."""
+    for c in (512, 384, 256, 128):
+        if c <= cap and dim % c == 0:
+            return c
+    return None
+
+
+def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
+    """apply_linear-compatible wrapper: flattens leading dims, pads M to the
+    tile multiple, picks lane-aligned tiles, dispatches int8/int4, adds
+    bias. Raises ValueError for shapes the kernel does not cover (caller
+    falls back to the jnp path)."""
+    w = lin["w"]
+    *lead, K = x.shape
+    K2, N = w.shape
+    M = 1
+    for d in lead:
+        M *= d
+    bn = _pick_tile(N, 512)
+    gs = lin.get("gs")
+    bk = K // gs.shape[0] if gs is not None else _pick_tile(K, 512)
+    if bn is None or bk is None or K % bk:
+        raise ValueError(f"unsupported quant_matmul shape {K}x{N}")
+    xf = x.reshape(M, K)
+    bm = min(128, max(8, M))
+    pad = (-M) % bm
+    if pad:
+        xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    y = quant_matmul(
+        xf, w, s=lin.get("s"), gs=gs,
+        out_dtype=x.dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
+    )
+    if pad:
+        y = y[:M]
+    y = y.reshape(*lead, N)
+    if "b" in lin:
+        y = y + lin["b"].astype(y.dtype)
+    return y

@@ -61,6 +61,15 @@ class Engine:
         self.cfg = engine_cfg or EngineConfig.from_env()
         self.tokenizer = tokenizer if tokenizer is not None else _maybe_tokenizer(model_id)
 
+        # Pallas fused dequant+matmul for quantized weights (TPU only; the
+        # jnp dequant expression elsewhere / for uncovered shapes).
+        if self.cfg.quant.weight_dtype != "bf16":
+            from tpusgl.ops.linear import enable_quant_matmul
+
+            enable_quant_matmul(
+                self.cfg.use_quant_matmul and jax.default_backend() == "tpu"
+            )
+
         # Attention backend: the Pallas paged kernel on TPU (HBM-speed page
         # streaming, one executable for all context lengths), jnp chunked
         # attention elsewhere (CPU tests, virtual-device dry runs).
@@ -100,7 +109,9 @@ class Engine:
         self.mesh = None
         if self.cfg.tp > 1 or self.cfg.dp > 1:
             from tpusgl.parallel.mesh import make_mesh, shard_params
+            from tpusgl.parallel.multihost import init_multihost
 
+            init_multihost()  # no-op single-process
             self.mesh = make_mesh(self.cfg.dp, self.cfg.tp)
             self.params = params = shard_params(self.model_cfg, params, self.mesh)
 
@@ -123,7 +134,7 @@ class Engine:
     def reset(self) -> None:
         self.scheduler.reset()
 
-    def warmup(self, simple: Optional[bool] = None) -> None:
+    def warmup(self, simple: Optional[bool] = None, max_workers: int = 8) -> None:
         """Precompile the step executables the serving loop will hit, so no
         XLA compile lands inside a timed run (the reference warms up by
         running one full request, bench.py:46-47 — insufficient here because
@@ -132,7 +143,15 @@ class Engine:
         Warms every prefill length bucket (with its diagonal kv bucket) and
         the full-batch decode program at every power-of-two window.
         `simple` selects the fast-sampling variants (None = both).
+
+        Programs are AOT-lowered on abstract avatars and compiled CONCURRENTLY
+        in a thread pool — the compile service serializes nothing host-side,
+        and each result lands in the persistent compilation cache, so the
+        serving loop's first real call per program is a cache hit instead of
+        a multi-minute compile.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         import numpy as np
 
         from tpusgl.ops.sampling import SamplingArrays
@@ -141,27 +160,35 @@ class Engine:
         cfg = self.cfg
         sched = self.scheduler
         simples = (True, False) if simple is None else (simple,)
-        R = cfg.max_requests  # dummy row
         P = cfg.page_size
+        del P  # geometry comes from state/config avatars below
 
+        def avatar(tree):
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(
+                    np.shape(a), a.dtype if hasattr(a, "dtype") else np.int32
+                ),
+                tree,
+            )
+
+        params_av = avatar(self.params)
+        state_av = avatar(sched.state)
+
+        def i32(*shape):
+            return jax.ShapeDtypeStruct(shape, np.int32)
+
+        to_lower = []
         for s in simples:
             for S in cfg.prefill_len_buckets:
                 if S > cfg.max_context_len:
                     continue
                 T = min(round_up(S, cfg.kv_len_bucket), cfg.max_context_len)
-                sched.state, _ = self.steps.prefill(
-                    S, T, sched.state,
-                    np.array([R], np.int32),
-                    np.zeros((1, S), np.int32),
-                    np.zeros((1, T), np.int32),
-                    np.array([1], np.int32),
-                    np.array([0], np.int32),
-                    np.zeros((1, S), np.int32),
-                    SamplingArrays.full(1),
-                    np.full((1, 64), self.model_cfg.vocab_size, np.int32),
-                    None,
-                    simple=s,
-                )
+                fn = self.steps.get_prefill_jit(S, T, False, s)
+                to_lower.append((fn, (
+                    params_av, state_av, i32(1), i32(1, S), i32(1, T),
+                    i32(1), i32(1), i32(1, S),
+                    avatar(SamplingArrays.full(1)), i32(1, 64), None,
+                )))
             Bb = cfg.decode_bs_buckets[-1]
             windows = {1, cfg.decode_window}
             k = cfg.decode_window
@@ -169,20 +196,17 @@ class Engine:
                 windows.add(k)
                 k >>= 1
             for K in sorted(windows):
-                sched.state, _ = self.steps.decode(
-                    min(round_up(K, cfg.kv_len_bucket), cfg.max_context_len),
-                    K, sched.state,
-                    np.full((Bb,), R, np.int32),
-                    np.ones((Bb,), np.int32),
-                    np.zeros((Bb, K), np.int32),
-                    np.zeros((Bb, cfg.pages_per_seq), np.int32),
-                    SamplingArrays.full(Bb),
-                    None,
-                    simple=s,
-                )
-        import jax as _jax
+                kv_len = min(round_up(K, cfg.kv_len_bucket), cfg.max_context_len)
+                fn = self.steps.get_decode_jit(Bb, kv_len, K, False, s)
+                to_lower.append((fn, (
+                    params_av, state_av, i32(Bb), i32(Bb), i32(Bb, K),
+                    i32(Bb, cfg.pages_per_seq),
+                    avatar(SamplingArrays.full(Bb)), None,
+                )))
 
-        _jax.block_until_ready(sched.state.last_token)
+        lowered = [fn.lower(*args) for fn, args in to_lower]
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(lambda l: l.compile(), lowered))
 
     def _encode(self, requests: Sequence[Union[str, Sequence[int]]]) -> List[List[int]]:
         out = []
@@ -216,6 +240,44 @@ class Engine:
         if self.tokenizer is not None and requests and isinstance(requests[0], str):
             return [self.tokenizer.decode(ids) for ids in outputs]
         return outputs
+
+    def generate_stream(
+        self,
+        requests: Sequence[Union[str, Sequence[int]]],
+        sampling: Optional[SamplingParams] = None,
+        enable_overlap: Optional[bool] = None,
+    ) -> Iterator[Tuple[int, List[int], bool]]:
+        """Streaming generation — what the reference's `generate_async` stub
+        promises (/root/reference/engine.py:72-78) but never implements.
+
+        Yields (request_index, new_token_ids, finished) after every committed
+        step; tokens arrive as soon as the host commits them, while later
+        steps are already in flight (overlap schedule)."""
+        if sampling is None:
+            sampling = SamplingParams()
+        if sampling.eos_id == -1 and self.tokenizer is not None:
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            if eos is not None:
+                sampling.eos_id = eos
+        token_reqs = self._encode(requests)
+        order = [
+            self.scheduler.make_request(ids, sampling) for ids in token_reqs
+        ]
+        index = {id(r): i for i, r in enumerate(order)}
+        emitted = [0] * len(order)
+        done = [False] * len(order)
+        self.scheduler.waiting.extend(order)
+        for committed in self.scheduler.step_events(enable_overlap):
+            for req in committed:
+                i = index.get(id(req))
+                if i is None or done[i]:
+                    continue
+                new = req.output_ids[emitted[i]:]
+                if not new and not req.finished:
+                    continue
+                emitted[i] = len(req.output_ids)
+                done[i] = req.finished
+                yield i, list(new), req.finished
 
     @property
     def metrics(self):

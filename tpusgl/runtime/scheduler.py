@@ -171,6 +171,14 @@ class Scheduler:
 
     def run_until_done(self, overlap: Optional[bool] = None) -> None:
         """Step until every queued request is finished."""
+        for _ in self.step_events(overlap):
+            pass
+
+    def step_events(self, overlap: Optional[bool] = None):
+        """Generator core of the serving loop: yields the committed
+        submission's request list after every host commit (the streaming
+        hook the reference's `generate_async` stub promises,
+        /root/reference/engine.py:72-78)."""
         if overlap is None:
             overlap = self.cfg.enable_overlap
         pending: Optional[_Submission] = None
@@ -191,6 +199,7 @@ class Scheduler:
                 # scheduler.py:632-637), then re-select since the commit may
                 # have finished or re-queued requests.
                 self._commit(pending)
+                yield pending.requests
                 pending = None
                 batch, mode = self._select_batch()
                 if mode == "error":
@@ -205,9 +214,11 @@ class Scheduler:
 
             if pending is not None:
                 self._commit(pending)
+                yield pending.requests
             pending = submitted
             if pending is not None and not overlap:
                 self._commit(pending)
+                yield pending.requests
                 pending = None
 
     def run_batch_static(
@@ -495,6 +506,13 @@ class Scheduler:
             page_tbl[i] = row[::P] // P
             max_len = max(max_len, req.seq_len)
             req.inflight_steps += 1
+
+        if self.cfg.check_multihost_schedule:
+            from tpusgl.parallel.multihost import (
+                assert_same_schedule, schedule_digest,
+            )
+
+            assert_same_schedule(schedule_digest("decode", req_indices, seq_lens0))
 
         kv_len = self._kv_bucket(max_len)
         samp = self._samp_arrays(batch, padded=Bb)

@@ -40,6 +40,20 @@ from tpusgl.ops.sampling import SamplingArrays, sample_tokens, sample_tokens_sim
 from tpusgl.runtime.state import EngineState
 
 
+def _zip_kv(state: EngineState):
+    """Per-layer KV handle for the model: the raw pool array, or an int8
+    (pool, per-token-scale) pair when the KV cache is quantized."""
+    if state.kv_scale is None:
+        return state.kv
+    return tuple(zip(state.kv, state.kv_scale))
+
+
+def _unzip_kv(kv, quantized: bool):
+    if not quantized:
+        return kv, None
+    return tuple(p[0] for p in kv), tuple(p[1] for p in kv)
+
+
 class StepFunctions:
     """Builds and caches the jitted step executables for one model."""
 
@@ -103,7 +117,7 @@ class StepFunctions:
             samp: SamplingArrays,
             cmask: Optional[jnp.ndarray],  # [B, V] additive or None (K==1 only)
         ) -> Tuple[EngineState, jnp.ndarray]:
-            kv = state.kv
+            kv = _zip_kv(state)
             last_token, presence, rng = state.last_token, state.presence, state.rng
 
             tokens = []
@@ -128,12 +142,30 @@ class StepFunctions:
                 last_token = last_token.at[req_indices].set(next_ids)
                 tokens.append(next_ids)
 
+            kv, kv_scale = _unzip_kv(kv, state.kv_scale is not None)
             new_state = state._replace(
-                kv=kv, last_token=last_token, presence=presence, rng=rng,
+                kv=kv, kv_scale=kv_scale, last_token=last_token,
+                presence=presence, rng=rng,
             )
             return new_state, jnp.stack(tokens)  # [K, B]
 
         return decode_multi
+
+    def get_decode_jit(
+        self, batch: int, kv_len: int, window: int, has_cmask: bool,
+        simple: bool,
+    ):
+        """The cached jitted decode executable for one shape/flag combo."""
+        if self.paged_kernel:
+            kv_len = self.engine_cfg.max_context_len  # single executable
+        key = (batch, kv_len, window, has_cmask, simple)
+        fn = self._decode_jit.get(key)
+        if fn is None:
+            fn = jax.jit(
+                self.make_decode_fn(kv_len, window, simple), donate_argnums=(1,)
+            )
+            self._decode_jit[key] = fn
+        return fn
 
     def decode(
         self, kv_len: int, window: int, state, req_indices, seq_lens0, out_loc,
@@ -141,15 +173,9 @@ class StepFunctions:
     ) -> Tuple[EngineState, jnp.ndarray]:
         """Run one decode program; returns (state, tokens [K, B])."""
         simple = simple and cmask is None
-        if self.paged_kernel:
-            kv_len = self.engine_cfg.max_context_len  # single executable
-        key = (int(req_indices.shape[0]), kv_len, window, cmask is not None, simple)
-        fn = self._decode_jit.get(key)
-        if fn is None:
-            fn = jax.jit(
-                self.make_decode_fn(kv_len, window, simple), donate_argnums=(1,)
-            )
-            self._decode_jit[key] = fn
+        fn = self.get_decode_jit(
+            int(req_indices.shape[0]), kv_len, window, cmask is not None, simple
+        )
         return fn(
             self.params, state, req_indices, seq_lens0, out_loc, page_tbl,
             samp, cmask,
@@ -187,7 +213,7 @@ class StepFunctions:
                 out_loc=out_loc,
             )
             last_hidden, kv = qwen2.forward(
-                params, cfg, input_ids, meta, state.kv,
+                params, cfg, input_ids, meta, _zip_kv(state),
                 attn_impl=chunked_attention if self.paged_kernel else self.attn_impl,
             )
             logits = qwen2.lm_head_logits(params, cfg, last_hidden)
@@ -209,12 +235,25 @@ class StepFunctions:
                 presence = state.presence.at[req_idx[0]].set(presence_row[0])
                 presence = presence.at[req_idx[0], next_ids[0]].set(True)
             last_token = state.last_token.at[req_idx[0]].set(next_ids[0])
+            kv, kv_scale = _unzip_kv(kv, state.kv_scale is not None)
             new_state = state._replace(
-                kv=kv, last_token=last_token, presence=presence, rng=rng,
+                kv=kv, kv_scale=kv_scale, last_token=last_token,
+                presence=presence, rng=rng,
             )
             return new_state, next_ids
 
         return prefill_step
+
+    def get_prefill_jit(
+        self, seq_bucket: int, kv_len: int, has_cmask: bool, simple: bool
+    ):
+        """The cached jitted prefill executable for one shape/flag combo."""
+        key = (seq_bucket, kv_len, has_cmask, simple)
+        fn = self._prefill_jit.get(key)
+        if fn is None:
+            fn = jax.jit(self.make_prefill_fn(kv_len, simple), donate_argnums=(1,))
+            self._prefill_jit[key] = fn
+        return fn
 
     def prefill(
         self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, kv_rows,
@@ -222,11 +261,7 @@ class StepFunctions:
         simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
         simple = simple and cmask is None
-        key = (seq_bucket, kv_len, cmask is not None, simple)
-        fn = self._prefill_jit.get(key)
-        if fn is None:
-            fn = jax.jit(self.make_prefill_fn(kv_len, simple), donate_argnums=(1,))
-            self._prefill_jit[key] = fn
+        fn = self.get_prefill_jit(seq_bucket, kv_len, cmask is not None, simple)
         return fn(
             self.params, state, req_idx, input_ids, kv_rows, seq_len,
             prefix_len, out_loc, samp, penalty_ids, cmask,
