@@ -35,6 +35,9 @@ def main() -> None:
                         help="concurrent request slots (default: num_seqs, "
                         "capped at 256)")
     parser.add_argument("--decode-window", type=int, default=8)
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the timed run "
+                        "into DIR (SURVEY.md §5 observability)")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -89,9 +92,14 @@ def main() -> None:
     engine.reset()
     print(f"warmup done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     outs = engine.scheduler.run_batch(prompts, sp, overlap=not args.no_overlap)
     elapsed = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     total_out = sum(len(o) for o in outs)
     tput = total_out / elapsed

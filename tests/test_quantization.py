@@ -135,3 +135,20 @@ def test_int8_kv_cache_greedy_matches_bf16():
     assert agree >= 0.8 * total, (agree, total, out_fp, out_q)
     for fp, q in zip(out_fp, out_q):
         assert fp[:4] == q[:4], (fp, q)
+
+
+def test_int4_packing_layout():
+    """Byte layout contract: low nibble = group row r, high nibble = group
+    row r + G//2; unpack_int4 inverts exactly."""
+    from tpusgl.ops.linear import unpack_int4
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-7, 8, (256, 128)).astype(np.float32)
+    gs_scale = 1.0  # values already integral in [-7, 7] -> scale 1 roundtrip
+    lin = {"w": jnp.asarray(vals * gs_scale)}
+    q = quantize_linear_int4(lin, group_size=64)
+    assert q["w4"].shape == (128, 128) and q["w4"].dtype == jnp.int8
+    unpacked = np.asarray(unpack_int4(q["w4"], 64))
+    gs = np.asarray(q["gs"])  # [4, 128]
+    recon = unpacked.reshape(4, 64, 128) * gs[:, None, :]
+    np.testing.assert_allclose(recon.reshape(256, 128), vals, atol=1e-5)

@@ -3,9 +3,15 @@
 A "linear" is a plain dict pytree:
     {"w": [..., in, out]}                                 bf16/fp32 dense
     {"w": int8 [..., in, out], "s": [..., out]}           INT8 per-channel
-    {"w": int8(4-bit vals) [..., in, out],
-     "gs": [..., in//G, out]}                             INT4 group-wise
+    {"w4": int8 [..., in//2, out],
+     "gs": [..., in//G, out]}                             INT4 group-wise, packed
 plus optional {"b": [..., out]}.
+
+INT4 packing: within each group of G in-rows, the byte at packed row r holds
+value row r in its low nibble and value row r + G//2 in its high nibble —
+unpacking a [G//2, N] byte tile yields two stacked [G//2, N] row blocks
+(a concat, never an interleave, so the TPU unpack is layout-cheap), and a
+byte never straddles a group (or TP-shard) boundary.
 
 The reference has no quantization (fp16 weights, fp8 KV stubs raising
 NotImplementedError at /root/reference/memory_pool.py:55-59); INT8/INT4
@@ -56,20 +62,28 @@ def quantize_linear_int8(lin: Linear) -> Linear:
 
 
 def quantize_linear_int4(lin: Linear, group_size: int = 128) -> Linear:
-    """Symmetric group-wise INT4 (values in [-7, 7], stored as int8).
+    """Symmetric group-wise INT4 (values in [-7, 7]), packed two per byte.
 
-    Groups run along the in-dimension; scale shape [..., in//G, out].
+    Groups run along the in-dimension; scale shape [..., in//G, out]. The
+    packed weight halves HBM traffic vs int8 storage — the point of INT4
+    for memory-bound decode (see module docstring for the byte layout).
     """
     w = lin["w"].astype(jnp.float32)
     *lead, in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
+    assert group_size % 2 == 0, group_size
     g = in_dim // group_size
     wg = w.reshape(*lead, g, group_size, out_dim)
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
     gs = (absmax / 7.0) + 1e-12
-    q = jnp.clip(jnp.round(wg / gs), -7, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(wg / gs), -7, 7).astype(jnp.int32)
+    half = group_size // 2
+    lo = q[..., :, :half, :] & 0xF
+    hi = q[..., :, half:, :] & 0xF
+    packed = (lo | (hi << 4)).astype(jnp.uint8)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
     out: Linear = {
-        "w": q.reshape(*lead, in_dim, out_dim),
+        "w4": packed.reshape(*lead, in_dim // 2, out_dim),
         "gs": gs.squeeze(-2).astype(jnp.float32),
     }
     if "b" in lin:
@@ -77,21 +91,35 @@ def quantize_linear_int4(lin: Linear, group_size: int = 128) -> Linear:
     return out
 
 
+def unpack_int4(w4: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """[..., in//2, out] packed bytes -> [..., in, out] int8 values in
+    [-7, 7], inverting the quantize_linear_int4 byte layout."""
+    *lead, half_in, out_dim = w4.shape
+    half = group_size // 2
+    g = half_in // half
+    wi = w4.astype(jnp.int32).reshape(*lead, g, half, out_dim)
+    lo = ((wi & 0xF) ^ 8) - 8
+    hi = (((wi >> 4) & 0xF) ^ 8) - 8
+    vals = jnp.concatenate([lo, hi], axis=-2)  # [..., g, G, out]
+    return vals.reshape(*lead, 2 * half_in, out_dim).astype(jnp.int8)
+
+
 def dequantize_weight(lin: Linear, dtype: jnp.dtype) -> jnp.ndarray:
     """Materialize the fp weight (jnp reference path / tests)."""
+    if "w4" in lin:  # packed int4 group-wise
+        gs = lin["gs"]
+        g = gs.shape[-2]
+        *lead, half_in, out_dim = lin["w4"].shape
+        group = 2 * half_in // g
+        w = unpack_int4(lin["w4"], group)
+        wf = w.astype(jnp.float32).reshape(*lead, g, group, out_dim)
+        wf = wf * gs[..., :, None, :]
+        return wf.reshape(*lead, 2 * half_in, out_dim).astype(dtype)
     w = lin["w"]
     if w.dtype != jnp.int8:
         return w.astype(dtype)
-    if "s" in lin:  # int8 per-channel
-        return (w.astype(jnp.float32) * lin["s"][..., None, :]).astype(dtype)
-    # int4 group-wise
-    gs = lin["gs"]
-    *lead, in_dim, out_dim = w.shape
-    g = gs.shape[-2]
-    group = in_dim // g
-    wf = w.astype(jnp.float32).reshape(*lead, g, group, out_dim)
-    wf = wf * gs[..., :, None, :]
-    return wf.reshape(*lead, in_dim, out_dim).astype(dtype)
+    # int8 per-channel
+    return (w.astype(jnp.float32) * lin["s"][..., None, :]).astype(dtype)
 
 
 # Trace-time switch set by the Engine (EngineConfig.use_quant_matmul): route
@@ -108,22 +136,22 @@ def enable_quant_matmul(on: bool) -> None:
 def apply_linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
     """x @ w (+ b). Dequant is expressed so XLA can fuse it into the matmul:
     for INT8 per-channel, (x @ w_q) * s == x @ (w_q * s)."""
-    w = lin["w"]
-    if w.dtype == jnp.int8 and _USE_QUANT_MATMUL:
+    quantized = "w4" in lin or lin["w"].dtype == jnp.int8
+    if quantized and _USE_QUANT_MATMUL:
         from tpusgl.ops.quant_matmul import quant_matmul_any
 
         try:
             return quant_matmul_any(x, lin)
         except ValueError:
             pass  # shape not covered -> jnp path below
-    if w.dtype == jnp.int8 and "s" in lin:
-        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
-        y = (y * lin["s"]).astype(x.dtype)
-    elif w.dtype == jnp.int8:
+    if "w4" in lin:
         wf = dequantize_weight(lin, x.dtype)
         y = jnp.dot(x, wf, preferred_element_type=jnp.float32).astype(x.dtype)
+    elif lin["w"].dtype == jnp.int8:
+        y = jnp.dot(x, lin["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = (y * lin["s"]).astype(x.dtype)
     else:
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, lin["w"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in lin:
         y = y + lin["b"].astype(y.dtype)
     return y

@@ -15,9 +15,10 @@ Blocked matmul, grid (nm, nn, nk), f32 accumulator in VMEM scratch:
   final k step.
 - INT4 group-wise (group size G along K): requires BK == G so each k step
   has ONE scale row — out = sum_k gs[k] * (x_k @ wq_k), scale folded into
-  the accumulate. Values are stored as int8 in [-7, 7] (ops/linear.py
-  layout); the 2x HBM saving of true 4-bit packing needs a bit-unpack in
-  kernel and is left as a TODO on the loader side.
+  the accumulate. Weights arrive PACKED two values per byte (ops/linear.py
+  layout: low nibble = row r, high nibble = row r + G//2 of the group), so
+  the weight DMA moves K*N/2 bytes — a quarter of bf16. The in-kernel
+  unpack is two nibble sign-extends and a sublane concat (no interleave).
 
 Enable via `tpusgl.ops.linear.apply_linear` (engine flag
 EngineConfig.use_quant_matmul); falls back to the jnp path off-TPU or for
@@ -61,15 +62,25 @@ def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # Unpack the [G//2, BN] byte tile into the [G, BN] value tile: nibble
+    # sign-extend via (v ^ 8) - 8, halves stacked along sublanes (the packer
+    # put rows [0, G/2) in low nibbles and [G/2, G) in high nibbles).
+    wi = w_ref[...].astype(jnp.int32)
+    lo = ((wi & 0xF) ^ 8) - 8
+    hi = (((wi >> 4) & 0xF) ^ 8) - 8
+    wt = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
     part = jax.lax.dot_general(
         x_ref[...].astype(jnp.float32),
-        w_ref[...].astype(jnp.float32),
+        wt,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     # One group per k step (BK == group_size): the group scale is constant
     # over the tile's K range, so it distributes over the partial product.
-    acc_ref[...] += part * gs_ref[...]
+    # gs_ref holds ALL nk scale rows (a [nk, BN] block: nk is rarely a
+    # multiple of 8, so a (1, BN) block would violate TPU block-shape rules);
+    # pick this step's row dynamically.
+    acc_ref[...] += part * gs_ref[pl.ds(k, 1), :]
 
     @pl.when(k == nk - 1)
     def _done():
@@ -78,7 +89,7 @@ def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int):
 
 def quant_matmul(
     x: jnp.ndarray,            # [M, K] bf16/f32
-    w: jnp.ndarray,            # [K, N] int8 (int8 per-channel or int4-in-int8)
+    w: jnp.ndarray,            # [K, N] int8 per-channel, or [K//2, N] packed int4
     s: Optional[jnp.ndarray] = None,   # [N] f32 — int8 per-channel scales
     gs: Optional[jnp.ndarray] = None,  # [K//G, N] f32 — int4 group scales
     *,
@@ -88,16 +99,18 @@ def quant_matmul(
     bk: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[M, N] = x @ dequant(w). Exactly one of s / gs must be given."""
+    """out[M, N] = x @ dequant(w). Exactly one of s / gs must be given; with
+    gs, `w` is the PACKED int4 byte array (two values per byte along K)."""
     assert (s is None) != (gs is None), "exactly one of s/gs"
     M, K = x.shape
+    packed = gs is not None
     K2, N = w.shape
-    assert K == K2, (x.shape, w.shape)
+    assert K == (2 * K2 if packed else K2), (x.shape, w.shape)
     out_dtype = out_dtype or x.dtype
 
-    if gs is not None:
+    if packed:
         G = K // gs.shape[0]
-        bk = G  # one scale row per k step
+        bk = G  # one scale row (and one packed byte block) per k step
     bm = min(bm, max(8, M))
     bn = min(bn, N)
     bk = min(bk, K)
@@ -111,17 +124,21 @@ def quant_matmul(
         kernel = functools.partial(_qmm_int8_kernel, nk=nk)
         scale_op = s.reshape(1, N).astype(jnp.float32)
         scale_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n))
+        w_spec = pl.BlockSpec((bk, bn), lambda m, n, k: (k, n))
+        w_bytes = K * N
     else:
         kernel = functools.partial(_qmm_int4_kernel, nk=nk)
         scale_op = gs.astype(jnp.float32)
-        scale_spec = pl.BlockSpec((1, bn), lambda m, n, k: (k, n))
+        scale_spec = pl.BlockSpec((nk, bn), lambda m, n, k: (0, n))
+        w_spec = pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n))
+        w_bytes = K * N // 2
 
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
         in_specs=[
             pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
-            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            w_spec,
             scale_spec,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
@@ -132,7 +149,7 @@ def quant_matmul(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
-            bytes_accessed=M * K * x.dtype.itemsize + K * N + M * N * 2,
+            bytes_accessed=M * K * x.dtype.itemsize + w_bytes + M * N * 2,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -152,9 +169,9 @@ def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     tile multiple, picks lane-aligned tiles, dispatches int8/int4, adds
     bias. Raises ValueError for shapes the kernel does not cover (caller
     falls back to the jnp path)."""
-    w = lin["w"]
+    w = lin["w4"] if "w4" in lin else lin["w"]
     *lead, K = x.shape
-    K2, N = w.shape
+    _, N = w.shape
     M = 1
     for d in lead:
         M *= d

@@ -48,7 +48,9 @@ def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
         # col: shard output axis; row: shard input axis.
         def shard_leaf(path_leaf_name, leaf):
             nd = leaf.ndim
-            if path_leaf_name == "w":
+            if path_leaf_name in ("w", "w4"):
+                # "w4" packs two in-rows per byte within a group, so a tp
+                # shard of the (packed) in axis still owns whole groups.
                 if nd == 3:  # [L, in, out]
                     return _ns(mesh, None, None, "tp") if col else _ns(
                         mesh, None, "tp", None
