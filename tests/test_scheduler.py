@@ -169,3 +169,38 @@ def test_generate_stream_matches_generate(engine, prompts, oracle, overlap):
     for i, p in enumerate(prompts):
         assert streamed[i] == oracle[tuple(p)], (i, streamed[i])
     _assert_pools_conserved(engine)
+
+
+@pytest.mark.parametrize("window", [1, 4])
+def test_context_full_request_under_overlap(params, window):
+    """A request whose prompt + max_new_tokens exactly fills max_context_len
+    must complete under overlap: while its finishing commit is in flight it
+    sits in `decoding` with a full context row and must not be selected for
+    another decode step (regression: empty out_loc slice crash)."""
+    ecfg = EngineConfig(
+        max_total_tokens=8 * 64,
+        max_requests=8,  # max_context_len = 64
+        page_size=4,
+        decode_bs_buckets=(1, 2, 4, 8),
+        prefill_len_buckets=(8, 16, 32, 64),
+        kv_len_bucket=64,
+        decode_window=window,
+    )
+    eng = Engine(
+        model_cfg=CFG, engine_cfg=ecfg, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    C = eng.cfg.max_context_len
+    prompt = list(np.random.default_rng(3).integers(0, CFG.vocab_size, 16))
+    sp = SamplingParams(max_new_tokens=C - len(prompt), do_sample=False, eos_id=-1)
+    out = eng.scheduler.run_batch([prompt], sp, overlap=True)
+    assert len(out[0]) == C - len(prompt)
+    _assert_pools_conserved_cfg(eng, ecfg)
+
+
+def _assert_pools_conserved_cfg(engine, ecfg):
+    sched = engine.scheduler
+    free = sched.page_pool.available_size()
+    cached = sched.tree.total_cached_tokens()
+    assert free + cached == ecfg.max_total_tokens, (free, cached)
+    assert sched.req_pool.available_size() == ecfg.max_requests

@@ -243,6 +243,15 @@ class Scheduler:
                 return batch, "prefill"
         if self.decoding:
             batch = self._try_select_decode()
+            # A request whose context row is full cannot take another token.
+            # Under overlap it sits in `decoding` unfinished while its final
+            # commit is still in flight (it necessarily finishes there:
+            # admission guarantees prompt + max_new <= max_context_len);
+            # selecting it would slice an empty out_loc range. Dropping it
+            # here lets the pending commit land and retire it.
+            batch = [
+                r for r in batch if r.seq_len < self.cfg.max_context_len
+            ]
             if batch:
                 return batch, "decode"
         return [], "error"
