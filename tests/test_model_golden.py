@@ -214,3 +214,55 @@ def test_prefix_cache_equivalence(hf_model_and_dir):
     np.testing.assert_allclose(
         np.asarray(hidden_full), np.asarray(hidden_split), rtol=1e-5, atol=1e-5
     )
+
+
+def test_llama_logits_match_hf(tmp_path):
+    """The registry's 'llama' entry is real: a tiny HF LlamaForCausalLM
+    (attention_bias=False, untied head — the two deltas vs Qwen2 that
+    ModelConfig carries) loads through the same path and matches logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from tpusgl.config import ModelConfig
+    from tpusgl.models import get_model
+
+    cfg = ModelConfig(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, num_hidden_layers=2, vocab_size=256,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+        architecture="llama",
+    )
+    hf_cfg = LlamaConfig(
+        hidden_size=cfg.hidden_size,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        vocab_size=cfg.vocab_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval().float()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    # The saved config.json round-trips to the same ModelConfig.
+    parsed = ModelConfig.from_json(str(tmp_path / "config.json"))
+    assert parsed.architecture == "llama"
+    assert not parsed.attention_bias
+
+    params = load_params(str(tmp_path), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 12))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+    impl = get_model(cfg.architecture)
+    hidden, _, _ = _dense_forward(params, cfg, ids)
+    ours_last = np.asarray(impl.lm_head_logits(params, cfg, hidden))
+    np.testing.assert_allclose(ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4)

@@ -3,7 +3,7 @@ with locks, evictable-size conservation (cf. radix_cache.py:247-272)."""
 
 import numpy as np
 
-from tpusgl.runtime.memory_pool import ReqSlotPool, TokenSlotPool
+from tpusgl.runtime.memory_pool import ReqSlotPool
 from tpusgl.runtime.radix_cache import RadixCache
 
 
@@ -95,15 +95,6 @@ def test_pools_accounting():
     rp.free(a)
     rp.free([b])
     assert rp.available_size() == 4
-
-    tp = TokenSlotPool(10)
-    s = tp.alloc(6)
-    assert s is not None and len(s) == 6 and s.min() >= 1
-    assert tp.alloc(5) is None
-    tp.free(s[:3])
-    assert tp.available_size() == 7
-    tp.clear()
-    assert tp.available_size() == 10
 
 
 # ----------------------------------------------------- page-granular layer

@@ -210,10 +210,19 @@ class EngineConfig:
     # XLA shape bucketing. Decode batch is padded up to the next bucket;
     # prefill token count likewise. Small sets keep compile count bounded.
     decode_bs_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256)
-    prefill_len_buckets: Tuple[int, ...] = (
-        16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192,
-    )
+    prefill_len_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024, 2048)
     kv_len_bucket: int = 256  # kv gather length rounds up to a multiple of this
+
+    # Batched prefill: requests are packed into [B, S] groups with
+    # B = prefill_token_budget // S (S = bucketed max extension in the
+    # group), so one device step prefills many requests and the compiled
+    # shape set is one program per S bucket (vs the reference's ragged
+    # concat, scheduler.py:393-407, and round 1's serialized [1, S] steps).
+    prefill_token_budget: int = 8192
+    # Extensions longer than the largest prefill bucket run as a chunked
+    # series of [1, chunk] steps (chunk = prefill_len_buckets[-1]); only the
+    # final chunk samples. This bounds per-step memory and removes the old
+    # hard length cap (pick_bucket ValueError).
 
     # Parallelism: data-parallel x tensor-parallel mesh shape.
     dp: int = 1
@@ -250,6 +259,16 @@ class EngineConfig:
             self.max_context_len, self.page_size)
         assert self.kv_len_bucket % self.page_size == 0, (
             self.kv_len_bucket, self.page_size)
+        assert self.prefill_chunk % self.page_size == 0 or (
+            self.prefill_chunk < self.page_size
+        ), (self.prefill_chunk, self.page_size)
+        assert self.prefill_token_budget >= self.prefill_chunk, (
+            self.prefill_token_budget, self.prefill_chunk)
+
+    @property
+    def prefill_chunk(self) -> int:
+        """Max tokens per prefill step row; longer extensions are chunked."""
+        return self.prefill_len_buckets[-1]
 
     @property
     def max_context_len(self) -> int:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusgl.config import ModelConfig
-from tpusgl.models import qwen2
+from tpusgl.models import get_model
 from tpusgl.ops.attention import AttnMeta, chunked_attention
 
 
@@ -42,10 +42,11 @@ def _window_nll_fn(cfg: ModelConfig, B: int, S: int, attn_impl):
             positions=jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1)),
             out_loc=rows,
         )
-        hidden, _ = qwen2.forward_hidden(
+        model = get_model(cfg.architecture)
+        hidden, _ = model.forward_hidden(
             params, cfg, ids, meta, kv, attn_impl=attn_impl
         )
-        logits = qwen2.lm_head_logits(params, cfg, hidden)  # [B, S, V] f32
+        logits = model.lm_head_logits(params, cfg, hidden)  # [B, S, V] f32
         logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
         tgt = ids[:, 1:]
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusgl.config import ModelConfig, QuantConfig
-from tpusgl.models import qwen2
+from tpusgl.models import get_model
 from tpusgl.ops.linear import quantize_linear_int4, quantize_linear_int8
 
 logger = logging.getLogger(__name__)
@@ -152,7 +152,7 @@ def load_params(
         params["layers"]["qkv"]["b"] = jnp.asarray(host["qkv_b"], dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(host["lm_head"], dtype)
-    cos, sin = qwen2.precompute_rope(cfg)
+    cos, sin = get_model(cfg.architecture).precompute_rope(cfg)
     params["rope_cos"] = cos
     params["rope_sin"] = sin
     if quant is not None and quant.weight_dtype != "bf16":

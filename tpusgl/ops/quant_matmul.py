@@ -164,6 +164,29 @@ def _pick_tile(dim: int, cap: int) -> Optional[int]:
     return None
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_qmm(kind: str, out_dtype: str, bm: int, bn: int, bk: int,
+                interpret: bool):
+    """Cached jitted wrapper: the layer stack hits this kernel at
+    4 linears x L layers (x window) call sites; one pjit per static config
+    makes jax trace/lower the kernel once (see ops/paged_attention.py
+    _jitted_paged_decode for the measured effect)."""
+    dt = jnp.dtype(out_dtype)
+    if kind == "int8":
+        def call(x, w, s):
+            return quant_matmul(
+                x, w, s=s, out_dtype=dt, bm=bm, bn=bn, bk=bk,
+                interpret=interpret,
+            )
+    else:
+        def call(x, w, gs):
+            return quant_matmul(
+                x, w, gs=gs, out_dtype=dt, bm=bm, bn=bn, bk=bk,
+                interpret=interpret,
+            )
+    return jax.jit(call)
+
+
 def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     """apply_linear-compatible wrapper: flattens leading dims, pads M to the
     tile multiple, picks lane-aligned tiles, dispatches int8/int4, adds
@@ -185,10 +208,14 @@ def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     pad = (-M) % bm
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
-    y = quant_matmul(
-        xf, w, s=lin.get("s"), gs=gs,
-        out_dtype=x.dtype, bm=bm, bn=bn, bk=bk, interpret=interpret,
-    )
+    if gs is not None:
+        y = _jitted_qmm("int4", jnp.dtype(x.dtype).name, bm, bn, bk, interpret)(
+            xf, w, gs
+        )
+    else:
+        y = _jitted_qmm("int8", jnp.dtype(x.dtype).name, bm, bn, bk, interpret)(
+            xf, w, lin["s"]
+        )
     if pad:
         y = y[:M]
     y = y.reshape(*lead, N)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpusgl.config import EngineConfig, ModelConfig, resolve_model_config
-from tpusgl.models import qwen2
+from tpusgl.models import get_model
 from tpusgl.ops.attention import chunked_attention
 from tpusgl.runtime.sampling_params import SamplingParams
 from tpusgl.runtime.scheduler import Scheduler
@@ -97,7 +97,7 @@ class Engine:
                 params = load_params(model_id, self.model_cfg, self.cfg.quant, dtype)
             else:
                 logger.info("no checkpoint found for %s; random init", model_id)
-                params = qwen2.init_params(
+                params = get_model(self.model_cfg.architecture).init_params(
                     self.model_cfg, jax.random.PRNGKey(seed), dtype
                 )
                 if self.cfg.quant.weight_dtype != "bf16":
@@ -160,8 +160,6 @@ class Engine:
         cfg = self.cfg
         sched = self.scheduler
         simples = (True, False) if simple is None else (simple,)
-        P = cfg.page_size
-        del P  # geometry comes from state/config avatars below
 
         def avatar(tree):
             return jax.tree.map(
@@ -182,12 +180,13 @@ class Engine:
             for S in cfg.prefill_len_buckets:
                 if S > cfg.max_context_len:
                     continue
-                T = min(round_up(S, cfg.kv_len_bucket), cfg.max_context_len)
-                fn = self.steps.get_prefill_jit(S, T, False, s)
+                Bb = sched._prefill_bb(S)
+                fn = self.steps.get_prefill_jit(False, s)
+                penalty = None if s else i32(Bb, 64)
                 to_lower.append((fn, (
-                    params_av, state_av, i32(1), i32(1, S), i32(1, T),
-                    i32(1), i32(1), i32(1, S),
-                    avatar(SamplingArrays.full(1)), i32(1, 64), None,
+                    params_av, state_av, i32(Bb), i32(Bb, S), i32(Bb),
+                    i32(Bb), i32(Bb, S), None,
+                    avatar(SamplingArrays.full(Bb)), penalty, None,
                 )))
             Bb = cfg.decode_bs_buckets[-1]
             windows = {1, cfg.decode_window}

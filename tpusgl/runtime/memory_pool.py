@@ -55,37 +55,6 @@ class ReqSlotPool:
         self.req_to_token[idx, start : start + len(values)] = values
 
 
-class TokenSlotPool:
-    """KV slot free list (BaseTokenToKVPool accounting, memory_pool.py:46-102).
-
-    Kept entirely on host as a numpy int32 vector; slot ids are 1..size
-    (slot 0 reserved).
-    """
-
-    def __init__(self, size: int):
-        self.size = size
-        self.free_slots = np.arange(1, size + 1, dtype=np.int32)
-
-    def available_size(self) -> int:
-        return len(self.free_slots)
-
-    def alloc(self, need: int) -> Optional[np.ndarray]:
-        if need > len(self.free_slots):
-            return None
-        out = self.free_slots[:need]
-        self.free_slots = self.free_slots[need:]
-        return out
-
-    def free(self, indices: np.ndarray) -> None:
-        indices = np.asarray(indices, dtype=np.int32).reshape(-1)
-        if indices.size == 0:
-            return
-        self.free_slots = np.concatenate([self.free_slots, indices])
-
-    def clear(self) -> None:
-        self.free_slots = np.arange(1, self.size + 1, dtype=np.int32)
-
-
 class PagePool:
     """Page-granular KV allocator.
 

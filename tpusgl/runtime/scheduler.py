@@ -69,10 +69,7 @@ class _Submission:
     mode: str  # "prefill" | "decode"
     requests: List[Request]
     epochs: List[int]
-    next_ids_dev: object  # device array: [1] (prefill) or [K, B_padded]
-    # Per request: (first sequence-page index, newly allocated page ids) —
-    # used to roll back the speculative tail of a decode window.
-    new_pages: List[Tuple[int, np.ndarray]]
+    next_ids_dev: object  # device array: [B] (prefill) or [K, B_padded]
     window: int = 1  # decode steps folded into this submission
     submit_t: float = 0.0
 
@@ -137,9 +134,19 @@ class Scheduler:
     def make_request(
         self, ids: Sequence[int], sampling: SamplingParams
     ) -> Request:
+        # Cap generation to the context window (the reference caps context
+        # implicitly via the page-table geometry, scheduler.py:43-47); a
+        # prompt that already fills the window can never produce a token —
+        # reject it up front instead of starving the admission loop.
+        room = self.cfg.max_context_len - len(ids)
+        if room < 1:
+            raise ValueError(
+                f"prompt length {len(ids)} leaves no room for generation "
+                f"(max_context_len={self.cfg.max_context_len})"
+            )
         return Request(
             input_ids=[int(t) for t in ids],
-            max_new_tokens=min(sampling.max_new_tokens, self.cfg.max_total_tokens),
+            max_new_tokens=min(sampling.max_new_tokens, room),
             eos_id=sampling.eos_id,
             temperature=sampling.temperature,
             top_k=sampling.top_k,
@@ -258,7 +265,14 @@ class Scheduler:
 
     def _try_select_prefill(self) -> List[Request]:
         """Token-budget admission (scheduler.py:258-301). Prefix matches are
-        page-granular; all lengths below stay token-denominated."""
+        page-granular; all lengths below stay token-denominated.
+
+        The admitted set is additionally trimmed to ONE batched prefill
+        group: B requests whose (bucketed) max extension S satisfies
+        B * S <= prefill_token_budget — that group runs as a single [B, S]
+        device step. An extension longer than prefill_chunk is admitted
+        alone and runs as a chunked series. The rest of the queue is picked
+        up by the next selection round (prefill-priority keeps draining it)."""
         for req in self.waiting:
             # Never let the cache cover the full input so at least one token
             # runs through the model (scheduler.py:264-268).
@@ -279,19 +293,40 @@ class Scheduler:
         )
         rem_tokens = self.page_pool.available_size() - reserved
 
+        budget = self.cfg.prefill_token_budget
+        chunk = self.cfg.prefill_chunk
+        buckets = self.cfg.prefill_len_buckets
         can_run: List[Request] = []
+        group_max_ext = 0
         for req in self.waiting:
             self.tree.inc_lock_ref(req.last_node)
             try:
                 new_tokens = len(req.full_ids) - req.num_cached_tokens
                 total_needed = new_tokens + req.remaining_new_tokens()
+                if new_tokens > chunk:
+                    # Long extension: chunked series, runs alone.
+                    if (
+                        not can_run
+                        and num_req_available >= 1
+                        and total_needed
+                        <= rem_tokens + self.tree.evictable_size()
+                        and len(req.full_ids) + req.remaining_new_tokens()
+                        <= self.cfg.max_context_len
+                    ):
+                        self.tree.inc_lock_ref(req.last_node)
+                        can_run.append(req)
+                    break
+                new_max = max(group_max_ext, new_tokens)
+                b_cap = max(1, budget // pick_bucket(new_max, buckets))
                 if (
                     len(can_run) + 1 <= num_req_available
+                    and len(can_run) + 1 <= b_cap
                     and total_needed <= rem_tokens + self.tree.evictable_size()
                     and len(req.full_ids) + req.remaining_new_tokens()
                     <= self.cfg.max_context_len
                 ):
                     rem_tokens -= total_needed
+                    group_max_ext = new_max
                     self.tree.inc_lock_ref(req.last_node)  # hold for the run
                     can_run.append(req)
                 else:
@@ -370,13 +405,14 @@ class Scheduler:
             pages = self.page_pool.alloc_pages(n_pages)
         return pages
 
-    def _run_prefill(self, batch: List[Request]) -> _Submission:
-        """Prefill the admitted set, one [1, S]-bucketed step per request
-        (the reference packs a ragged concat, scheduler.py:381-452; dense
-        per-request steps keep shapes static for XLA)."""
-        next_ids_list = []
+    def _prefill_rows(self, batch: List[Request]) -> List[Tuple[Request, int, int, np.ndarray]]:
+        """Per-request resource setup: request slot, KV pages, page-aligned
+        mirror row (host is authoritative). Returns (req, cached, ext,
+        own_slots) per request; positions past L in the last partial page are
+        the slots later decode steps append to."""
         P = self.P
         C = self.cfg.max_context_len
+        rows = []
         for req in batch:
             prompt = req.full_ids
             L = len(prompt)
@@ -387,7 +423,7 @@ class Scheduler:
             if req_idx is None:
                 raise RuntimeError("Failed to allocate request slot")
 
-            n_pages = -(-(L - cached) // P)
+            n_pages = -(-ext // P)
             pages = self._alloc_pages_evicting(n_pages)
             if pages is None:
                 avail = (
@@ -395,48 +431,40 @@ class Scheduler:
                 )
                 raise RuntimeError(f"Prefill OOM: need {ext}, available {avail}")
 
-            # Build the page-aligned mirror row (host is authoritative). The
-            # full span of every owned page is written — positions past L in
-            # the last partial page are the slots later decode steps append to.
             row = np.zeros((C,), np.int32)
             if cached:
                 row[:cached] = self.page_pool.page_slots(req.prefix_pages)
             span = self.page_pool.page_slots(pages)
             stop = min(cached + len(span), C)
             row[cached:stop] = span[: stop - cached]
-            own_slots = span[: L - cached]
+            own_slots = span[:ext]
             self.req_pool.req_to_token[req_idx] = row
             req.req_pool_idx = req_idx
             req.seq_len = L
             req.is_retracted = False
+            rows.append((req, cached, ext, own_slots))
+        return rows
 
-            S = pick_bucket(ext, self.cfg.prefill_len_buckets)
-            kv_len = self._kv_bucket(L)
-            ids_pad = np.zeros((1, S), np.int32)
-            ids_pad[0, :ext] = prompt[cached:]
-            loc_pad = np.zeros((1, S), np.int32)
-            loc_pad[0, :ext] = own_slots
+    def _prefill_bb(self, s_bucket: int) -> int:
+        """Batch rows per prefill program: the budget diagonal, bounded by
+        the (pow2-rounded) request capacity — one compiled program per
+        S bucket regardless of how full the group is."""
+        cap = 1 << (self.cfg.max_requests - 1).bit_length()
+        return max(1, min(self.cfg.prefill_token_budget // s_bucket, cap))
 
-            penalty_ids = self._penalty_ids(req)
-            cmask = self._constraint_mask([req])
+    def _prefix_bucket(self, max_prefix: int) -> int:
+        """Pow2 length bucket for the gathered-prefix rows (log(ctx) distinct
+        programs instead of one per kv_len_bucket multiple)."""
+        b = max(self.cfg.kv_len_bucket, 1 << max(0, max_prefix - 1).bit_length())
+        return min(b, self.cfg.max_context_len)
 
-            self.state, next_ids = self.steps.prefill(
-                S, kv_len, self.state,
-                np.array([req_idx], np.int32),
-                ids_pad,
-                row[None, :kv_len],
-                np.array([L], np.int32),
-                np.array([cached], np.int32),
-                loc_pad,
-                self._samp_arrays([req]),
-                penalty_ids,
-                cmask,
-                simple=self._is_simple([req]) and not req.output_ids,
-            )
-            next_ids_list.append((next_ids, (cached // P, pages)))
-            self.metrics["prefill_steps"] += 1
-            self.metrics["prefill_tokens"] += ext
-            self.metrics["cached_tokens"] += cached
+    def _run_prefill(self, batch: List[Request]) -> _Submission:
+        """Prefill the admitted group as ONE batched [B, S] device step
+        (vs round 1's serialized [1, S] step per request — the cause of the
+        4.4 s TTFT p50), or as a chunked series of [1, chunk] steps for a
+        long extension (cf. the reference's ragged concat + whole-suffix
+        prefill, scheduler.py:393-407, which capped prompt length)."""
+        rows = self._prefill_rows(batch)
 
         # Eager queue transition (scheduler.py:676-681): decode may be
         # scheduled before these commits; inputs come from device last_token.
@@ -447,14 +475,109 @@ class Scheduler:
                 self.decoding.append(req)
             req.inflight_steps += 1
 
+        if len(rows) == 1 and rows[0][2] > self.cfg.prefill_chunk:
+            next_ids = self._prefill_chunked(*rows[0])
+        else:
+            next_ids = self._prefill_group(rows)
+
         return _Submission(
             mode="prefill",
             requests=list(batch),
             epochs=[r.epoch for r in batch],
-            next_ids_dev=[t for t, _ in next_ids_list],
-            new_pages=[p for _, p in next_ids_list],
+            next_ids_dev=next_ids,  # [B] device array; row i <-> batch[i]
             submit_t=time.perf_counter(),
         )
+
+    def _prefill_group(self, rows) -> "jnp.ndarray":
+        """One [Bb, S] step for a group of short extensions."""
+        batch = [r[0] for r in rows]
+        max_ext = max(r[2] for r in rows)
+        max_prefix = max(r[1] for r in rows)
+        S = pick_bucket(max_ext, self.cfg.prefill_len_buckets)
+        Bb = self._prefill_bb(S)
+        assert len(rows) <= Bb, (len(rows), Bb, S)
+        R = self.cfg.max_requests  # dummy row index
+
+        req_idx = np.full((Bb,), R, np.int32)
+        ids_pad = np.zeros((Bb, S), np.int32)
+        out_loc = np.zeros((Bb, S), np.int32)
+        seq_len = np.zeros((Bb,), np.int32)
+        prefix_len = np.zeros((Bb,), np.int32)
+        prefix_rows = None
+        if max_prefix > 0:
+            Tp = self._prefix_bucket(max_prefix)
+            prefix_rows = np.zeros((Bb, Tp), np.int32)
+
+        for i, (req, cached, ext, own_slots) in enumerate(rows):
+            ids_pad[i, :ext] = req.full_ids[cached:]
+            out_loc[i, :ext] = own_slots
+            seq_len[i] = cached + ext
+            prefix_len[i] = cached
+            req_idx[i] = req.req_pool_idx
+            if prefix_rows is not None and cached:
+                mirror = self.req_pool.req_to_token[req.req_pool_idx]
+                n = min(prefix_rows.shape[1], cached)
+                prefix_rows[i, :n] = mirror[:n]
+            self.metrics["prefill_tokens"] += ext
+            self.metrics["cached_tokens"] += cached
+
+        simple = self._is_simple(batch)
+        self.state, next_ids = self.steps.prefill(
+            self.state, req_idx, ids_pad, seq_len, prefix_len, out_loc,
+            prefix_rows,
+            self._samp_arrays(batch, padded=Bb),
+            self._penalty_ids(batch, padded=Bb),
+            self._constraint_mask(batch, padded=Bb),
+            simple=simple,
+        )
+        self.metrics["prefill_steps"] += 1
+        return next_ids
+
+    def _prefill_chunked(self, req: Request, cached: int, ext: int,
+                         own_slots: np.ndarray) -> "jnp.ndarray":
+        """Chunked prefill of one long extension: a series of [1, chunk]
+        steps; only the final chunk samples/commits (intermediate steps
+        target the dummy request row). Bounds per-step memory and removes
+        the old hard cap at the largest prefill bucket (SURVEY.md §7
+        'chunked prefill in the scheduler')."""
+        chunk = self.cfg.prefill_chunk
+        R = self.cfg.max_requests
+        L = cached + ext
+        mirror = self.req_pool.req_to_token[req.req_pool_idx]
+        next_ids = None
+        start = cached
+        while start < L:
+            clen = min(chunk, L - start)
+            is_last = start + clen >= L
+            S = pick_bucket(clen, self.cfg.prefill_len_buckets)
+            ids_pad = np.zeros((1, S), np.int32)
+            ids_pad[0, :clen] = req.full_ids[start : start + clen]
+            loc_pad = np.zeros((1, S), np.int32)
+            loc_pad[0, :clen] = own_slots[start - cached : start - cached + clen]
+            prefix_rows = None
+            if start > 0:
+                Tp = self._prefix_bucket(start)
+                prefix_rows = np.zeros((1, Tp), np.int32)
+                n = min(Tp, start)
+                prefix_rows[0, :n] = mirror[:n]
+            self.state, next_ids = self.steps.prefill(
+                self.state,
+                np.array([req.req_pool_idx if is_last else R], np.int32),
+                ids_pad,
+                np.array([start + clen], np.int32),
+                np.array([start], np.int32),
+                loc_pad,
+                prefix_rows,
+                self._samp_arrays([req]),
+                self._penalty_ids([req]),
+                self._constraint_mask([req]) if is_last else None,
+                simple=self._is_simple([req]),
+            )
+            self.metrics["prefill_steps"] += 1
+            start += clen
+        self.metrics["prefill_tokens"] += ext
+        self.metrics["cached_tokens"] += cached
+        return next_ids
 
     def _pick_window(self, batch: List[Request]) -> int:
         """How many decode steps to fold into one program. Constrained
@@ -489,7 +612,6 @@ class Scheduler:
         page_tbl = np.zeros((Bb, pps), np.int32)
 
         max_len = 0
-        batch_pages: List[Tuple[int, np.ndarray]] = []
         for i, req in enumerate(batch):
             assert req.req_pool_idx is not None
             row = self.req_pool.req_to_token[req.req_pool_idx]
@@ -498,7 +620,6 @@ class Scheduler:
             first_new_page = -(-req.seq_len // P)
             last_page = (req.seq_len + K - 1) // P
             n_new = last_page - first_new_page + 1 if last_page >= first_new_page else 0
-            pages = np.empty((0,), np.int32)
             if n_new > 0:
                 pages = self._alloc_pages_evicting(n_new)
                 if pages is None:
@@ -506,7 +627,6 @@ class Scheduler:
                 start = first_new_page * P
                 stop = min((last_page + 1) * P, self.cfg.max_context_len)
                 row[start:stop] = self.page_pool.page_slots(pages)[: stop - start]
-            batch_pages.append((first_new_page, pages))
 
             out_loc[i] = row[req.seq_len : req.seq_len + K]
             req.seq_len += K
@@ -538,7 +658,6 @@ class Scheduler:
             requests=list(batch),
             epochs=[r.epoch for r in batch],
             next_ids_dev=next_ids,
-            new_pages=batch_pages,
             window=K,
         )
 
@@ -573,13 +692,18 @@ class Scheduler:
             penalty[i] = r.repetition_penalty
         return SamplingArrays(temp, top_k, top_p, do_sample, penalty)
 
-    def _penalty_ids(self, req: Request, bucket: int = 64) -> np.ndarray:
-        """Prior output ids for presence-rebuild at (re-)prefill; padded with
-        vocab_size which scatters with mode=drop."""
-        ids = sorted(set(req.output_ids))
-        K = round_up(max(len(ids), 1), bucket)
-        out = np.full((1, K), self.model_cfg.vocab_size, np.int32)
-        out[0, : len(ids)] = ids
+    def _penalty_ids(
+        self, batch: List[Request], padded: Optional[int] = None,
+        bucket: int = 64,
+    ) -> np.ndarray:
+        """Prior output ids for presence-rebuild at (re-)prefill, one row per
+        batch row; padded with vocab_size which scatters with mode=drop."""
+        B = padded or len(batch)
+        per_req = [sorted(set(r.output_ids)) for r in batch]
+        K = round_up(max(max((len(p) for p in per_req), default=0), 1), bucket)
+        out = np.full((B, K), self.model_cfg.vocab_size, np.int32)
+        for i, ids in enumerate(per_req):
+            out[i, : len(ids)] = ids
         return out
 
     def _constraint_mask(
@@ -608,8 +732,9 @@ class Scheduler:
         _process_results_overlap (scheduler.py:700-761), generalized to
         decode windows."""
         if sub.mode == "prefill":
+            ids_arr = np.asarray(sub.next_ids_dev)  # [Bb]; D2H sync point
             for i, req in enumerate(sub.requests):
-                next_id = int(np.asarray(sub.next_ids_dev[i])[0])  # D2H sync
+                next_id = int(ids_arr[i])
                 if req.epoch != sub.epochs[i]:
                     continue  # submitted before a retraction; discard
                 req.inflight_steps -= 1

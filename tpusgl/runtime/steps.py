@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from tpusgl.config import EngineConfig, ModelConfig
-from tpusgl.models import qwen2
+from tpusgl.models import get_model
 from tpusgl.ops.attention import AttnMeta, chunked_attention, rows_from_pages
 from tpusgl.ops.sampling import SamplingArrays, sample_tokens, sample_tokens_simple
 from tpusgl.runtime.state import EngineState
@@ -68,6 +68,7 @@ class StepFunctions:
     ):
         self.params = params
         self.model_cfg = model_cfg
+        self.model = get_model(model_cfg.architecture)
         self.engine_cfg = engine_cfg
         self.attn_impl = attn_impl
         self.sample_k_cap = min(sample_k_cap, model_cfg.vocab_size)
@@ -76,6 +77,25 @@ class StepFunctions:
         self.paged_kernel = paged_kernel
         self._decode_jit = {}
         self._prefill_jit = {}
+
+        # Inner pjit around the decoder stack: a decode window calls the
+        # forward at `window` identical-aval sites (and every window/sampling
+        # program variant shares them) — one cached trace + one lowered
+        # shared function instead of re-tracing L layers per site. Same
+        # trick as ops/paged_attention._jitted_paged_decode, one level up.
+        model, cfg, attn = self.model, model_cfg, attn_impl
+        self._fwd = jax.jit(
+            lambda params, ids, meta, kv: model.forward(
+                params, cfg, ids, meta, kv, attn_impl=attn
+            )
+        )
+        from tpusgl.ops.attention import extend_attention
+
+        self._fwd_prefill = jax.jit(
+            lambda params, ids, meta, kv: model.forward(
+                params, cfg, ids, meta, kv, attn_impl=extend_attention
+            )
+        )
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
         """AttnMeta for one decode iteration. kv_len only bounds the jnp
@@ -125,10 +145,8 @@ class StepFunctions:
                 seq_lens = seq_lens0 + k
                 meta = self._decode_meta(page_tbl, seq_lens, out_loc[:, k], kv_len)
                 input_ids = last_token[req_indices][:, None]
-                last_hidden, kv = qwen2.forward(
-                    params, cfg, input_ids, meta, kv, attn_impl=self.attn_impl,
-                )
-                logits = qwen2.lm_head_logits(params, cfg, last_hidden)
+                last_hidden, kv = self._fwd(params, input_ids, meta, kv)
+                logits = self.model.lm_head_logits(params, cfg, last_hidden)
                 rng, sub = jax.random.split(rng)
                 if simple:
                     next_ids = sample_tokens_simple(sub, logits, samp)
@@ -183,58 +201,71 @@ class StepFunctions:
 
     # ----------------------------------------------------------------- prefill
 
-    def make_prefill_fn(self, kv_len: int, simple: bool = False):
-        """The raw (unjitted) prefill step (jnp chunked attention: a prefill
-        runs once per request; the per-token hot path is decode)."""
+    def make_prefill_fn(self, has_prefix: bool, simple: bool = False):
+        """The raw (unjitted) batched prefill step.
+
+        One program prefills a whole [B, S] group of requests (the reference
+        packs a ragged concat at /root/reference/scheduler.py:393-407; dense
+        per-request rows keep shapes static for XLA, and the scheduler packs
+        groups to a token budget so the MXU stays full). Attention is
+        extend_attention: causal self-attention over the new tokens, plus a
+        gathered cached prefix when `has_prefix` (radix hits / chunked
+        prefill continuations). Rows can be padding (req_idx == max_requests,
+        ext 0) or non-final chunks of a long prompt (req_idx == max_requests
+        so the sampled token lands in the dummy row)."""
         cfg = self.model_cfg
 
         def prefill_step(
             params,
             state: EngineState,
-            req_idx: jnp.ndarray,      # [1] i32
-            input_ids: jnp.ndarray,    # [1, S] i32 (padded)
-            kv_rows: jnp.ndarray,      # [1, T] i32 token rows (mirror slice)
-            seq_len: jnp.ndarray,      # [1] i32 total logical len
-            prefix_len: jnp.ndarray,   # [1] i32 cached prefix length
-            out_loc: jnp.ndarray,      # [1, S] i32 (0 on padding)
-            samp: SamplingArrays,      # [1]
-            penalty_ids: jnp.ndarray,  # [1, Kp] i32 prior output ids (pad = V)
+            req_idx: jnp.ndarray,      # [B] i32 (dummy rows == max_requests)
+            input_ids: jnp.ndarray,    # [B, S] i32 (padded)
+            seq_len: jnp.ndarray,      # [B] i32 total logical len
+            prefix_len: jnp.ndarray,   # [B] i32 computed-prefix length
+            out_loc: jnp.ndarray,      # [B, S] i32 (0 on padding)
+            prefix_rows: Optional[jnp.ndarray],  # [B, Tp] i32 or None
+            samp: SamplingArrays,      # [B]
+            penalty_ids: jnp.ndarray,  # [B, Kp] i32 prior output ids (pad = V)
             cmask: Optional[jnp.ndarray],
         ) -> Tuple[EngineState, jnp.ndarray]:
-            S = input_ids.shape[1]
+            B, S = input_ids.shape
             positions = prefix_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
             positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
             ext_len = seq_len - prefix_len
             meta = AttnMeta(
-                kv_rows=kv_rows,
+                kv_rows=None,
                 seq_lens=seq_len,
                 ext_lens=ext_len,
                 positions=positions,
                 out_loc=out_loc,
+                prefix_rows=prefix_rows if has_prefix else None,
+                prefix_lens=prefix_len,
             )
-            last_hidden, kv = qwen2.forward(
-                params, cfg, input_ids, meta, _zip_kv(state),
-                attn_impl=chunked_attention if self.paged_kernel else self.attn_impl,
+            last_hidden, kv = self._fwd_prefill(
+                params, input_ids, meta, _zip_kv(state)
             )
-            logits = qwen2.lm_head_logits(params, cfg, last_hidden)
+            logits = self.model.lm_head_logits(params, cfg, last_hidden)
 
             rng, sub = jax.random.split(state.rng)
+            rows_b = jnp.arange(B, dtype=jnp.int32)
             if simple:
                 next_ids = sample_tokens_simple(sub, logits, samp)
                 presence = state.presence
             else:
-                presence_row = (
-                    jnp.zeros((1, cfg.vocab_size), jnp.bool_)
-                    .at[0, penalty_ids[0]]
+                presence_rows = (
+                    jnp.zeros((B, cfg.vocab_size), jnp.bool_)
+                    .at[rows_b[:, None], penalty_ids]
                     .set(True, mode="drop")
                 )
                 next_ids = sample_tokens(
-                    sub, logits, samp, presence_row, cmask,
+                    sub, logits, samp, presence_rows, cmask,
                     k_cap=self.sample_k_cap,
                 )
-                presence = state.presence.at[req_idx[0]].set(presence_row[0])
-                presence = presence.at[req_idx[0], next_ids[0]].set(True)
-            last_token = state.last_token.at[req_idx[0]].set(next_ids[0])
+                presence_rows = presence_rows.at[rows_b, next_ids].set(True)
+                # Dummy rows all scatter into the spare presence row
+                # (max_requests) — harmless garbage.
+                presence = state.presence.at[req_idx].set(presence_rows)
+            last_token = state.last_token.at[req_idx].set(next_ids)
             kv, kv_scale = _unzip_kv(kv, state.kv_scale is not None)
             new_state = state._replace(
                 kv=kv, kv_scale=kv_scale, last_token=last_token,
@@ -244,25 +275,31 @@ class StepFunctions:
 
         return prefill_step
 
-    def get_prefill_jit(
-        self, seq_bucket: int, kv_len: int, has_cmask: bool, simple: bool
-    ):
-        """The cached jitted prefill executable for one shape/flag combo."""
-        key = (seq_bucket, kv_len, has_cmask, simple)
+    def get_prefill_jit(self, has_prefix: bool, simple: bool):
+        """The cached jitted prefill callable for one flag combo. Shapes
+        ([B, S], [B, Tp], [B, Kp]) are handled by jit's own shape cache —
+        the scheduler keeps them bucketed so the executable set stays small."""
+        key = (has_prefix, simple)
         fn = self._prefill_jit.get(key)
         if fn is None:
-            fn = jax.jit(self.make_prefill_fn(kv_len, simple), donate_argnums=(1,))
+            fn = jax.jit(
+                self.make_prefill_fn(has_prefix, simple), donate_argnums=(1,)
+            )
             self._prefill_jit[key] = fn
         return fn
 
     def prefill(
-        self, seq_bucket: int, kv_len: int, state, req_idx, input_ids, kv_rows,
-        seq_len, prefix_len, out_loc, samp, penalty_ids, cmask=None,
+        self, state, req_idx, input_ids, seq_len, prefix_len, out_loc,
+        prefix_rows=None, samp=None, penalty_ids=None, cmask=None,
         simple: bool = False,
     ) -> Tuple[EngineState, jnp.ndarray]:
         simple = simple and cmask is None
-        fn = self.get_prefill_jit(seq_bucket, kv_len, cmask is not None, simple)
+        if simple:
+            # Dead inputs under the fast path; dropping them keeps their
+            # host-side shape variation from retracing the program.
+            penalty_ids = None
+        fn = self.get_prefill_jit(prefix_rows is not None, simple)
         return fn(
-            self.params, state, req_idx, input_ids, kv_rows, seq_len,
-            prefix_len, out_loc, samp, penalty_ids, cmask,
+            self.params, state, req_idx, input_ids, seq_len, prefix_len,
+            out_loc, prefix_rows, samp, penalty_ids, cmask,
         )
