@@ -3,10 +3,22 @@
 The reference loads the *entire* HF model into host RAM via
 AutoModelForCausalLM and then copies tensor-by-tensor
 (/root/reference/model_loader.py:96-121) — O(model size) host memory and a
-full fp materialization. Here each shard is memory-mapped with safetensors,
-tensors are fused into the QKV / GateUp layouts (same slicing semantics as
-model_loader.py:174-249), optionally quantized to INT8/INT4 on the fly, and
-placed on device incrementally — peak host memory is one layer's worth.
+full fp materialization. Here loading is truly streaming and shard-aware:
+
+- shards are memory-mapped (safetensors random access), and tensors are read
+  layer by layer in OUR order, not shard order;
+- each layer is fused into the QKV / GateUp layouts (same slicing semantics
+  as model_loader.py:174-249) and quantized to INT8/INT4 *on the host* in
+  numpy, so the full bf16 weights never exist on any device;
+- the quantized layer is `jax.device_put` directly to its per-layer
+  NamedSharding (when a mesh is given) and scattered into preallocated
+  stacked [L, ...] device buffers with ONE donated jitted
+  dynamic-update-slice program — in-place on device, O(1) extra HBM.
+
+Peak host memory is one layer's worth of fp32 (plus the mmap, which the OS
+pages); peak device memory is the final (quantized, sharded) model plus one
+layer. That is what makes Qwen2.5-7B INT8 fit a single 16 GB v5e chip and
+72B INT4 fit a TP-sharded slice.
 
 Also provides save_params/quantize_params used by tests and by the synthetic
 benchmark path (no network access in this environment).
@@ -14,6 +26,7 @@ benchmark path (no network access in this environment).
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -30,22 +43,43 @@ from tpusgl.ops.linear import quantize_linear_int4, quantize_linear_int8
 logger = logging.getLogger(__name__)
 
 
-def _iter_shards(ckpt_dir: str):
-    from safetensors import safe_open
+class _ShardIndex:
+    """Random access to an HF safetensors checkpoint: name -> fp32 ndarray.
 
-    index_path = os.path.join(ckpt_dir, "model.safetensors.index.json")
-    if os.path.exists(index_path):
-        with open(index_path) as f:
-            index = json.load(f)
-        shard_files = sorted(set(index["weight_map"].values()))
-    else:
-        shard_files = [
-            f for f in sorted(os.listdir(ckpt_dir)) if f.endswith(".safetensors")
-        ]
-    for fname in shard_files:
-        with safe_open(os.path.join(ckpt_dir, fname), framework="np") as f:
-            for name in f.keys():
-                yield name, f.get_tensor(name)
+    Keeps one mmap-backed handle per shard file; `get` reads a single tensor
+    (the reference's loader pulls the whole state dict up front,
+    /root/reference/model_loader.py:96-105)."""
+
+    def __init__(self, ckpt_dir: str):
+        from safetensors import safe_open
+
+        self._dir = ckpt_dir
+        index_path = os.path.join(ckpt_dir, "model.safetensors.index.json")
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                weight_map = json.load(f)["weight_map"]
+            shard_files = sorted(set(weight_map.values()))
+        else:
+            shard_files = [
+                f for f in sorted(os.listdir(ckpt_dir))
+                if f.endswith(".safetensors")
+            ]
+        self._handles = {}
+        self._name_to_file: Dict[str, str] = {}
+        for fname in shard_files:
+            h = safe_open(os.path.join(ckpt_dir, fname), framework="np")
+            self._handles[fname] = h
+            for name in h.keys():
+                self._name_to_file[name] = fname
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._name_to_file
+
+    def get(self, name: str) -> np.ndarray:
+        fname = self._name_to_file.get(name)
+        if fname is None:
+            raise KeyError(f"tensor {name!r} not found in {self._dir}")
+        return _to_np_fp32(self._handles[fname].get_tensor(name))
 
 
 def _to_np_fp32(t) -> np.ndarray:
@@ -56,107 +90,329 @@ def _to_np_fp32(t) -> np.ndarray:
     return arr.astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# Host-side quantization (numpy mirrors of ops/linear.quantize_linear_*,
+# same formulas and byte layout — verified leaf-identical in
+# tests/test_loader.py) so a layer can be quantized before it ever touches
+# a device.
+# --------------------------------------------------------------------------
+
+
+def _np_quantize_int8(w: np.ndarray):
+    """[in, out] fp32 -> (int8 [in, out], scale f32 [out])."""
+    absmax = np.abs(w).max(axis=0)
+    s = (absmax / 127.0) + 1e-12
+    q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+def _np_quantize_int4(w: np.ndarray, group_size: int):
+    """[in, out] fp32 -> (packed int8 [in//2, out], scales f32 [in//G, out]);
+    byte layout identical to ops/linear.quantize_linear_int4."""
+    in_dim, out_dim = w.shape
+    assert in_dim % group_size == 0, (in_dim, group_size)
+    g = in_dim // group_size
+    wg = w.reshape(g, group_size, out_dim)
+    absmax = np.abs(wg).max(axis=1, keepdims=True)
+    gs = (absmax / 7.0) + 1e-12
+    q = np.clip(np.round(wg / gs), -7, 7).astype(np.int32)
+    half = group_size // 2
+    packed = ((q[:, :half] & 0xF) | ((q[:, half:] & 0xF) << 4)).astype(np.uint8)
+    return (
+        packed.view(np.int8).reshape(in_dim // 2, out_dim),
+        gs[:, 0].astype(np.float32),
+    )
+
+
+def _np_cast(a: np.ndarray, dtype) -> np.ndarray:
+    # np.dtype(jnp.bfloat16) is ml_dtypes.bfloat16: casting on host halves
+    # the host->device transfer vs shipping fp32.
+    return np.ascontiguousarray(a.astype(np.dtype(dtype)))
+
+
+def _quantize_linear_np(
+    w: np.ndarray, quant: Optional[QuantConfig], dtype,
+    b: Optional[np.ndarray] = None,
+) -> Dict[str, np.ndarray]:
+    wd = quant.weight_dtype if quant is not None else "bf16"
+    if wd == "int8":
+        q, s = _np_quantize_int8(w)
+        out = {"w": q, "s": s}
+    elif wd == "int4":
+        q, gs = _np_quantize_int4(w, quant.group_size)
+        out = {"w4": q, "gs": gs}
+    else:
+        out = {"w": _np_cast(w, dtype)}
+    if b is not None:
+        out["b"] = _np_cast(b, dtype)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Stacked-buffer streaming
+# --------------------------------------------------------------------------
+
+
+def layer_struct(
+    cfg: ModelConfig, quant: Optional[QuantConfig], dtype
+) -> Dict[str, Any]:
+    """ShapeDtypeStruct tree for ONE layer's params (no leading L axis), in
+    the final (possibly quantized) storage layout."""
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    qkv_out = cfg.q_size + 2 * cfg.kv_size
+    wd = quant.weight_dtype if quant is not None else "bf16"
+    G = quant.group_size if quant is not None else 128
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, jnp.dtype(dt))
+
+    def lin(in_dim, out_dim, bias=False):
+        if wd == "int8":
+            d = {"w": sds((in_dim, out_dim), jnp.int8),
+                 "s": sds((out_dim,), jnp.float32)}
+        elif wd == "int4":
+            d = {"w4": sds((in_dim // 2, out_dim), jnp.int8),
+                 "gs": sds((in_dim // G, out_dim), jnp.float32)}
+        else:
+            d = {"w": sds((in_dim, out_dim), dtype)}
+        if bias:
+            d["b"] = sds((out_dim,), dtype)
+        return d
+
+    return {
+        "input_norm": sds((H,), dtype),
+        "post_norm": sds((H,), dtype),
+        "qkv": lin(H, qkv_out, bias=cfg.attention_bias),
+        "o": lin(cfg.q_size, H),
+        "gate_up": lin(H, 2 * I),
+        "down": lin(I, H),
+    }
+
+
+class LayerStreamer:
+    """Preallocates the stacked [L, ...] device buffers (sharded when a mesh
+    is given) and scatters one layer at a time with a single donated jitted
+    dynamic-update-slice program — the device-side half of streaming load."""
+
+    def __init__(self, cfg: ModelConfig, quant: Optional[QuantConfig], dtype,
+                 mesh=None):
+        L = cfg.num_hidden_layers
+        self.L = L
+        layer_av = layer_struct(cfg, quant, dtype)
+        stacked_av = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((L, *a.shape), a.dtype), layer_av
+        )
+        self.layer_shardings = None
+        out_sh = None
+        if mesh is not None:
+            from tpusgl.parallel.mesh import drop_leading_axis, layers_shardings
+
+            out_sh = layers_shardings(stacked_av, mesh)
+            self.layer_shardings = jax.tree.map(drop_leading_axis, out_sh)
+        alloc = jax.jit(
+            lambda: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), stacked_av),
+            out_shardings=out_sh,
+        )
+        self.bufs = alloc()
+        self._scatter = jax.jit(
+            lambda bufs, x, l: jax.tree.map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, l, 0),
+                bufs, x,
+            ),
+            donate_argnums=0,
+        )
+
+    def set_layer(self, l: int, layer_host: Dict[str, Any]) -> None:
+        """layer_host: numpy tree matching layer_struct (already quantized)."""
+        if self.layer_shardings is not None:
+            layer_host = jax.tree.map(
+                jax.device_put, layer_host, self.layer_shardings
+            )
+        self.bufs = self._scatter(self.bufs, layer_host, np.int32(l))
+
+
+def _read_layer_np(
+    reader: _ShardIndex, cfg: ModelConfig, l: int,
+    quant: Optional[QuantConfig], dtype,
+) -> Dict[str, Any]:
+    """Read + fuse + host-quantize ONE layer. HF name mapping mirrors
+    model_loader.py:123-264: q/k/v fuse into qkv slices [0:q), [q:q+kv),
+    [q+kv:); gate/up fuse into gate_up [0:I), [I:2I); weights transpose to
+    input-major."""
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    q, kv = cfg.q_size, cfg.kv_size
+    p = f"model.layers.{l}."
+
+    qkv_w = np.empty((H, q + 2 * kv), np.float32)
+    qkv_w[:, :q] = reader.get(p + "self_attn.q_proj.weight").T
+    qkv_w[:, q : q + kv] = reader.get(p + "self_attn.k_proj.weight").T
+    qkv_w[:, q + kv :] = reader.get(p + "self_attn.v_proj.weight").T
+    qkv_b = None
+    if cfg.attention_bias:
+        qkv_b = np.empty((q + 2 * kv,), np.float32)
+        qkv_b[:q] = reader.get(p + "self_attn.q_proj.bias")
+        qkv_b[q : q + kv] = reader.get(p + "self_attn.k_proj.bias")
+        qkv_b[q + kv :] = reader.get(p + "self_attn.v_proj.bias")
+    gate_up = np.empty((H, 2 * I), np.float32)
+    gate_up[:, :I] = reader.get(p + "mlp.gate_proj.weight").T
+    gate_up[:, I:] = reader.get(p + "mlp.up_proj.weight").T
+
+    return {
+        "input_norm": _np_cast(reader.get(p + "input_layernorm.weight"), dtype),
+        "post_norm": _np_cast(
+            reader.get(p + "post_attention_layernorm.weight"), dtype
+        ),
+        "qkv": _quantize_linear_np(qkv_w, quant, dtype, b=qkv_b),
+        "o": _quantize_linear_np(
+            np.ascontiguousarray(reader.get(p + "self_attn.o_proj.weight").T),
+            quant, dtype,
+        ),
+        "gate_up": _quantize_linear_np(gate_up, quant, dtype),
+        "down": _quantize_linear_np(
+            np.ascontiguousarray(reader.get(p + "mlp.down_proj.weight").T),
+            quant, dtype,
+        ),
+    }
+
+
 def load_params(
     ckpt_dir: str,
     cfg: ModelConfig,
     quant: Optional[QuantConfig] = None,
     dtype=jnp.bfloat16,
+    mesh=None,
 ) -> Dict[str, Any]:
-    """Load HF-layout safetensors into the stacked-layer params pytree.
+    """Load HF-layout safetensors into the stacked-layer params pytree,
+    streaming layer by layer (see module docstring): host-quantize each
+    layer, place it at its per-layer NamedSharding (when `mesh` is given),
+    scatter into the preallocated stacked device buffers."""
+    if quant is not None and quant.weight_dtype == "bf16":
+        quant = None
+    reader = _ShardIndex(ckpt_dir)
+    streamer = LayerStreamer(cfg, quant, dtype, mesh=mesh)
+    for l in range(cfg.num_hidden_layers):
+        streamer.set_layer(l, _read_layer_np(reader, cfg, l, quant, dtype))
+    logger.info(
+        "streamed %d layers from %s (%s weights)",
+        cfg.num_hidden_layers, ckpt_dir,
+        quant.weight_dtype if quant else "bf16",
+    )
 
-    HF name mapping mirrors model_loader.py:123-264: q/k/v fuse into qkv
-    slices [0:q), [q:q+kv), [q+kv:); gate/up fuse into gate_up [0:I), [I:2I);
-    weights transpose to input-major.
-    """
-    L, H = cfg.num_hidden_layers, cfg.hidden_size
-    q, kv, inter = cfg.q_size, cfg.kv_size, cfg.intermediate_size
-    qkv_out = q + 2 * kv
+    if mesh is not None:
+        from tpusgl.parallel.mesh import _ns
 
-    host: Dict[str, np.ndarray] = {
-        "embed": np.zeros((cfg.vocab_size, H), np.float32),
-        "final_norm": np.zeros((H,), np.float32),
-        "input_norm": np.zeros((L, H), np.float32),
-        "post_norm": np.zeros((L, H), np.float32),
-        "qkv_w": np.zeros((L, H, qkv_out), np.float32),
-        "qkv_b": np.zeros((L, qkv_out), np.float32) if cfg.attention_bias else None,
-        "o_w": np.zeros((L, q, H), np.float32),
-        "gate_up_w": np.zeros((L, H, 2 * inter), np.float32),
-        "down_w": np.zeros((L, inter, H), np.float32),
-    }
-    if not cfg.tie_word_embeddings:
-        host["lm_head"] = np.zeros((cfg.vocab_size, H), np.float32)
-
-    import re
-
-    layer_pat = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
-    n_loaded = 0
-    for name, tensor in _iter_shards(ckpt_dir):
-        t = _to_np_fp32(tensor)
-        n_loaded += 1
-        if name == "model.embed_tokens.weight":
-            host["embed"][:] = t
-            continue
-        if name == "model.norm.weight":
-            host["final_norm"][:] = t
-            continue
-        if name == "lm_head.weight":
-            if not cfg.tie_word_embeddings:
-                host["lm_head"][:] = t
-            continue
-        m = layer_pat.match(name)
-        if not m:
-            logger.debug("skipping unknown tensor %s", name)
-            continue
-        lid, rest = int(m.group(1)), m.group(2)
-        if rest == "input_layernorm.weight":
-            host["input_norm"][lid] = t
-        elif rest == "post_attention_layernorm.weight":
-            host["post_norm"][lid] = t
-        elif rest == "self_attn.q_proj.weight":
-            host["qkv_w"][lid, :, :q] = t.T
-        elif rest == "self_attn.k_proj.weight":
-            host["qkv_w"][lid, :, q : q + kv] = t.T
-        elif rest == "self_attn.v_proj.weight":
-            host["qkv_w"][lid, :, q + kv :] = t.T
-        elif rest == "self_attn.q_proj.bias" and host["qkv_b"] is not None:
-            host["qkv_b"][lid, :q] = t
-        elif rest == "self_attn.k_proj.bias" and host["qkv_b"] is not None:
-            host["qkv_b"][lid, q : q + kv] = t
-        elif rest == "self_attn.v_proj.bias" and host["qkv_b"] is not None:
-            host["qkv_b"][lid, q + kv :] = t
-        elif rest == "self_attn.o_proj.weight":
-            host["o_w"][lid] = t.T
-        elif rest == "mlp.gate_proj.weight":
-            host["gate_up_w"][lid, :, :inter] = t.T
-        elif rest == "mlp.up_proj.weight":
-            host["gate_up_w"][lid, :, inter:] = t.T
-        elif rest == "mlp.down_proj.weight":
-            host["down_w"][lid] = t.T
-        else:
-            logger.debug("skipping unmapped tensor %s", name)
-    logger.info("streamed %d tensors from %s", n_loaded, ckpt_dir)
+        put_vocab = lambda a: jax.device_put(a, _ns(mesh, "tp", None))
+        put_rep = lambda a: jax.device_put(a, _ns(mesh))
+    else:
+        put_vocab = put_rep = jnp.asarray
 
     params: Dict[str, Any] = {
-        "embed": jnp.asarray(host["embed"], dtype),
-        "final_norm": jnp.asarray(host["final_norm"], dtype),
-        "layers": {
-            "input_norm": jnp.asarray(host["input_norm"], dtype),
-            "post_norm": jnp.asarray(host["post_norm"], dtype),
-            "qkv": {"w": jnp.asarray(host["qkv_w"], dtype)},
-            "o": {"w": jnp.asarray(host["o_w"], dtype)},
-            "gate_up": {"w": jnp.asarray(host["gate_up_w"], dtype)},
-            "down": {"w": jnp.asarray(host["down_w"], dtype)},
-        },
+        "embed": put_vocab(_np_cast(reader.get("model.embed_tokens.weight"), dtype)),
+        "final_norm": put_rep(_np_cast(reader.get("model.norm.weight"), dtype)),
+        "layers": streamer.bufs,
     }
-    if cfg.attention_bias:
-        params["layers"]["qkv"]["b"] = jnp.asarray(host["qkv_b"], dtype)
     if not cfg.tie_word_embeddings:
-        params["lm_head"] = jnp.asarray(host["lm_head"], dtype)
+        # Some checkpoints omit lm_head.weight when it duplicates the
+        # embedding; fall back to the embedding in that case.
+        name = (
+            "lm_head.weight" if "lm_head.weight" in reader
+            else "model.embed_tokens.weight"
+        )
+        params["lm_head"] = put_vocab(_np_cast(reader.get(name), dtype))
     cos, sin = get_model(cfg.architecture).precompute_rope(cfg)
+    params["rope_cos"] = put_rep(cos)
+    params["rope_sin"] = put_rep(sin)
+    return params
+
+
+def init_params_streamed(
+    cfg: ModelConfig,
+    key: jax.Array,
+    dtype=jnp.bfloat16,
+    quant: Optional[QuantConfig] = None,
+    mesh=None,
+) -> Dict[str, Any]:
+    """Random-init params layer by layer on device: generate one layer in
+    bf16, quantize it, scatter into the stacked buffers — peak device memory
+    is the final (quantized, sharded) model plus one bf16 layer, vs
+    init_params + quantize_params which needs the full bf16 model resident
+    first (OOM for 7B on a 16 GB chip). Used by the synthetic bench path."""
+    import math
+
+    if quant is not None and quant.weight_dtype == "bf16":
+        quant = None
+    streamer = LayerStreamer(cfg, quant, dtype, mesh=mesh)
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    qkv_out = cfg.q_size + 2 * cfg.kv_size
+    wd = quant.weight_dtype if quant is not None else "bf16"
+
+    def init_layer(k):
+        ks = jax.random.split(k, 4)
+
+        def lin(kk, in_dim, out_dim, bias):
+            w = (
+                jax.random.normal(kk, (in_dim, out_dim), jnp.float32)
+                / math.sqrt(in_dim)
+            ).astype(dtype)
+            d = {"w": w}
+            if wd == "int8":
+                d = quantize_linear_int8(d)
+            elif wd == "int4":
+                d = quantize_linear_int4(d, quant.group_size)
+            if bias:
+                d["b"] = jnp.zeros((out_dim,), dtype)
+            return d
+
+        return {
+            "input_norm": jnp.ones((H,), dtype),
+            "post_norm": jnp.ones((H,), dtype),
+            "qkv": lin(ks[0], H, qkv_out, cfg.attention_bias),
+            "o": lin(ks[1], cfg.q_size, H, False),
+            "gate_up": lin(ks[2], H, 2 * I, False),
+            "down": lin(ks[3], I, H, False),
+        }
+
+    step = jax.jit(
+        lambda bufs, k, l: jax.tree.map(
+            lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, l, 0),
+            bufs, init_layer(k),
+        ),
+        donate_argnums=0,
+    )
+    bufs = streamer.bufs
+    for l in range(cfg.num_hidden_layers):
+        bufs = step(bufs, jax.random.fold_in(key, l), np.int32(l))
+
+    if mesh is not None:
+        from tpusgl.parallel.mesh import _ns
+
+        vocab_sh, rep_sh = _ns(mesh, "tp", None), _ns(mesh)
+    else:
+        vocab_sh = rep_sh = None
+
+    def vocab_init(k):
+        return (
+            jax.random.normal(k, (cfg.vocab_size, H), jnp.float32)
+            / math.sqrt(H)
+        ).astype(dtype)
+
+    vkey = jax.random.fold_in(key, cfg.num_hidden_layers)
+    params: Dict[str, Any] = {
+        "embed": jax.jit(vocab_init, out_shardings=vocab_sh)(vkey),
+        "final_norm": jax.jit(
+            lambda: jnp.ones((H,), dtype), out_shardings=rep_sh
+        )(),
+        "layers": bufs,
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jax.jit(vocab_init, out_shardings=vocab_sh)(
+            jax.random.fold_in(vkey, 1)
+        )
+    cos, sin = get_model(cfg.architecture).precompute_rope(cfg)
+    if rep_sh is not None:
+        cos, sin = jax.device_put(cos, rep_sh), jax.device_put(sin, rep_sh)
     params["rope_cos"] = cos
     params["rope_sin"] = sin
-    if quant is not None and quant.weight_dtype != "bf16":
-        params = quantize_params(params, quant)
     return params
 
 
@@ -188,7 +444,11 @@ def save_params_hf_layout(
     tensors: Dict[str, np.ndarray] = {}
 
     def put(name, arr):
-        tensors[name] = np.asarray(arr, np.float32)
+        # ascontiguousarray matters: safetensors' numpy save_file serializes
+        # the raw buffer without honoring strides, so a transposed VIEW would
+        # be written with its pre-transpose byte order (wrong data under the
+        # declared shape).
+        tensors[name] = np.ascontiguousarray(np.asarray(arr, np.float32))
 
     put("model.embed_tokens.weight", params["embed"])
     put("model.norm.weight", params["final_norm"])

@@ -42,8 +42,16 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
-    """Sharding pytree matching the params structure."""
+def drop_leading_axis(ns: NamedSharding) -> NamedSharding:
+    """[L, ...] stacked-tensor sharding -> the per-layer slice's sharding
+    (used by the streaming loader to place one layer before scattering it
+    into the stacked device buffer)."""
+    return NamedSharding(ns.mesh, P(*tuple(ns.spec)[1:]))
+
+
+def layers_shardings(layers: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Sharding pytree for the stacked `params['layers']` subtree (leaves may
+    be arrays or ShapeDtypeStructs — only .ndim is consulted)."""
     def lin_shard(col: bool):
         # col: shard output axis; row: shard input axis.
         def shard_leaf(path_leaf_name, leaf):
@@ -71,20 +79,24 @@ def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
         f = lin_shard(col)
         return {k: f(k, v) for k, v in lin.items()}
 
-    layers = params["layers"]
+    return {
+        "input_norm": _ns(mesh),
+        "post_norm": _ns(mesh),
+        "qkv": map_linear(layers["qkv"], col=True),
+        "o": map_linear(layers["o"], col=False),
+        "gate_up": map_linear(layers["gate_up"], col=True),
+        "down": map_linear(layers["down"], col=False),
+    }
+
+
+def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
+    """Sharding pytree matching the params structure."""
     out: Dict[str, Any] = {
         "embed": _ns(mesh, "tp", None),
         "final_norm": _ns(mesh),
         "rope_cos": _ns(mesh),
         "rope_sin": _ns(mesh),
-        "layers": {
-            "input_norm": _ns(mesh),
-            "post_norm": _ns(mesh),
-            "qkv": map_linear(layers["qkv"], col=True),
-            "o": map_linear(layers["o"], col=False),
-            "gate_up": map_linear(layers["gate_up"], col=True),
-            "down": map_linear(layers["down"], col=False),
-        },
+        "layers": layers_shardings(params["layers"], mesh),
     }
     if "lm_head" in params:
         out["lm_head"] = _ns(mesh, "tp", None)

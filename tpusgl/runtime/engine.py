@@ -90,30 +90,39 @@ class Engine:
                 attn_impl = chunked_attention
         self._paged_kernel = paged_kernel
 
-        if params is None:
-            if os.path.isdir(model_id):
-                from tpusgl.loader.safetensors_loader import load_params
-
-                params = load_params(model_id, self.model_cfg, self.cfg.quant, dtype)
-            else:
-                logger.info("no checkpoint found for %s; random init", model_id)
-                params = get_model(self.model_cfg.architecture).init_params(
-                    self.model_cfg, jax.random.PRNGKey(seed), dtype
-                )
-                if self.cfg.quant.weight_dtype != "bf16":
-                    from tpusgl.loader.safetensors_loader import quantize_params
-
-                    params = quantize_params(params, self.cfg.quant)
-        self.params = params
-
         self.mesh = None
         if self.cfg.tp > 1 or self.cfg.dp > 1:
-            from tpusgl.parallel.mesh import make_mesh, shard_params
+            from tpusgl.parallel.mesh import make_mesh
             from tpusgl.parallel.multihost import init_multihost
 
             init_multihost()  # no-op single-process
             self.mesh = make_mesh(self.cfg.dp, self.cfg.tp)
-            self.params = params = shard_params(self.model_cfg, params, self.mesh)
+
+        if params is None:
+            # Streaming paths: quantize per layer (host for checkpoints,
+            # device for random init) and place each layer directly at its
+            # NamedSharding — the full bf16 model never exists anywhere
+            # (required for 7B+ on a 16 GB chip).
+            if os.path.isdir(model_id):
+                from tpusgl.loader.safetensors_loader import load_params
+
+                params = load_params(
+                    model_id, self.model_cfg, self.cfg.quant, dtype,
+                    mesh=self.mesh,
+                )
+            else:
+                logger.info("no checkpoint found for %s; random init", model_id)
+                from tpusgl.loader.safetensors_loader import init_params_streamed
+
+                params = init_params_streamed(
+                    self.model_cfg, jax.random.PRNGKey(seed), dtype,
+                    quant=self.cfg.quant, mesh=self.mesh,
+                )
+        elif self.mesh is not None:
+            from tpusgl.parallel.mesh import shard_params
+
+            params = shard_params(self.model_cfg, params, self.mesh)
+        self.params = params
 
         self.steps = StepFunctions(
             params, self.model_cfg, self.cfg,
