@@ -35,9 +35,14 @@ def main() -> None:
                         help="concurrent request slots (default: num_seqs, "
                         "capped at 256)")
     parser.add_argument("--decode-window", type=int, default=8)
+    parser.add_argument("--prefill-budget", type=int, default=8192,
+                        help="max tokens per batched prefill step (lower for "
+                        "big models to bound activation memory)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the timed run "
                         "into DIR (SURVEY.md §5 observability)")
+    parser.add_argument("--device", default=None, choices=["tpu", "cpu"],
+                        help="force a jax backend (reference run.py:24)")
     args = parser.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
@@ -46,6 +51,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if args.device == "cpu":
+        # The TPU tunnel plugin forces its own jax_platforms; the config
+        # update (not the env var) is what actually selects the backend.
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 
@@ -64,6 +73,7 @@ def main() -> None:
         max_requests=max_requests,
         max_total_tokens=max_requests * ctx,
         decode_bs_buckets=(max_requests,),
+        prefill_token_budget=args.prefill_budget,
         prefill_len_buckets=(128, 256, 512, 1024, 2048, 4096),
         decode_window=args.decode_window,
     )
@@ -106,6 +116,46 @@ def main() -> None:
     m = engine.metrics
     ttft = sorted(m["ttft_s"])
     pct = lambda p: round(ttft[min(len(ttft) - 1, int(p * len(ttft)))], 3) if ttft else None
+
+    # ---- HBM roofline (SURVEY.md §6): model-derived bytes moved / wall time.
+    # Decode is bandwidth-bound: each decode iteration streams every weight
+    # byte except the embedding gather (the LM head matmul reads its full
+    # table; a tied table is read as the LM head), plus the KV cache of every
+    # active sequence. Prefill re-reads the weights per step and gathers the
+    # cached-prefix KV. KV writes are one token each.
+    mc = engine.model_cfg
+    param_bytes = sum(
+        x.nbytes for x in jax.tree.leaves(engine.params)
+    )
+    embed_bytes = engine.params["embed"].nbytes
+    weight_stream = param_bytes - (0 if mc.tie_word_embeddings else embed_bytes)
+    kv_tok = mc.num_hidden_layers * mc.num_key_value_heads * 2 * mc.head_dim
+    kv_tok_bytes = kv_tok * (1 if args.kv_dtype == "int8" else 2)
+    if args.kv_dtype == "int8":  # per-token f32 scales, one per (head, k/v)
+        kv_tok_bytes += mc.num_hidden_layers * mc.num_key_value_heads * 2 * 4
+    decode_bytes = (
+        m["decode_iters"] * weight_stream
+        + m["decode_kv_token_reads"] * kv_tok_bytes
+        + m["decode_tokens"] * kv_tok_bytes  # writes
+    )
+    prefill_bytes = (
+        m["prefill_steps"] * weight_stream
+        + m["cached_tokens"] * kv_tok_bytes  # prefix gather
+        + m["prefill_tokens"] * kv_tok_bytes  # writes
+    )
+    hbm_gbps = (decode_bytes + prefill_bytes) / elapsed / 1e9
+    peak = {
+        # chip HBM bandwidth by jax device_kind, GB/s
+        "TPU v4": 1228.0, "TPU v5 lite": 819.0, "TPU v5": 2765.0,
+        "TPU v5p": 2765.0, "TPU v6 lite": 1638.0, "TPU v6e": 1638.0,
+    }.get(jax.devices()[0].device_kind)
+    # Speed-of-light decode throughput implied by the measured byte mix:
+    # peak_bw / (decode bytes per generated token).
+    sol_tok_s = (
+        peak * 1e9 / (decode_bytes / max(1, m["decode_tokens"]))
+        if peak and m["decode_tokens"] else None
+    )
+    dbs = m["decode_batch_sizes"]
     print(
         json.dumps(
             {
@@ -116,12 +166,25 @@ def main() -> None:
                 "ttft_p99_s": pct(0.99),
                 "prefill_steps": m["prefill_steps"],
                 "decode_steps": m["decode_steps"],
+                "decode_iters": m["decode_iters"],
                 "prefill_tokens": m["prefill_tokens"],
                 "cached_tokens": m["cached_tokens"],
                 "retractions": m["retractions"],
                 "decode_tokens_per_step": round(
                     m["decode_tokens"] / max(1, m["decode_steps"]), 1
                 ),
+                "decode_batch_fill": round(
+                    sum(dbs) / max(1, len(dbs)) / max_requests, 3
+                ) if dbs else None,
+                "weight_stream_gb": round(weight_stream / 1e9, 3),
+                "kv_bytes_per_token": kv_tok_bytes,
+                "model_hbm_gb_moved": round(
+                    (decode_bytes + prefill_bytes) / 1e9, 1
+                ),
+                "achieved_hbm_gbps": round(hbm_gbps, 1),
+                "peak_hbm_gbps": peak,
+                "pct_of_hbm_peak": round(100 * hbm_gbps / peak, 1) if peak else None,
+                "decode_sol_tokens_per_s": round(sol_tok_s, 1) if sol_tok_s else None,
             }
         ),
         file=sys.stderr,
@@ -134,6 +197,8 @@ def main() -> None:
                 "value": round(tput, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": 1.0,
+                "achieved_hbm_gbps": round(hbm_gbps, 1),
+                "pct_of_hbm_peak": round(100 * hbm_gbps / peak, 1) if peak else None,
             }
         )
     )

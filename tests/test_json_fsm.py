@@ -170,9 +170,13 @@ def test_engine_constrained_generation(overlap):
         dtype=jnp.float32, attn_impl=ref_attention, sample_k_cap=cfg.vocab_size,
     )
     schema = {"type": "object", "properties": {"age": {"type": "integer"}}}
+    # Sampling (fixed engine PRNG seed -> deterministic) rather than greedy:
+    # a random greedy model can lock onto one digit forever (the schema
+    # allows unbounded integers), truncating the JSON at max_new_tokens.
+    # The repetition penalty further pushes toward the FSM's closing tokens.
     sp = SamplingParams(
-        max_new_tokens=48, do_sample=False, eos_id=tok.eos_token_id,
-        json_schema=schema,
+        max_new_tokens=48, do_sample=True, temperature=1.0,
+        eos_id=tok.eos_token_id, json_schema=schema, repetition_penalty=1.5,
     )
     prompt = [ord(c) for c in "give me json:"]
     out = engine.scheduler.run_batch([prompt], sp, overlap=overlap)[0]

@@ -57,13 +57,14 @@ def test_streaming_host_quant_matches_device_quant(ckpt, wd):
     quant = QuantConfig(weight_dtype=wd, group_size=64)
     streamed = load_params(d, TINY, quant=quant, dtype=jnp.float32)
     bf = load_params(d, TINY, dtype=jnp.float32)
-    for name in ("qkv", "o", "gate_up", "down"):
-        lin = bf["layers"][name]
-        ref = (
-            quantize_linear_int8(lin) if wd == "int8"
-            else quantize_linear_int4(lin, 64)
-        )
-        _tree_equal(streamed["layers"][name], ref)
+    for l in range(TINY.num_hidden_layers):
+        for name in ("qkv", "o", "gate_up", "down"):
+            lin = bf["layers"][l][name]
+            ref = (
+                quantize_linear_int8(lin) if wd == "int8"
+                else quantize_linear_int4(lin, 64)
+            )
+            _tree_equal(streamed["layers"][l][name], ref)
 
 
 def test_streaming_sharded_placement(ckpt):
@@ -96,10 +97,9 @@ def test_init_streamed_structure(wd):
         TINY, jax.random.PRNGKey(0), jnp.float32, quant=quant
     )
     if wd == "int8":
-        assert params["layers"]["qkv"]["w"].dtype == jnp.int8
-        assert params["layers"]["down"]["s"].shape == (
-            TINY.num_hidden_layers, TINY.hidden_size,
-        )
+        assert params["layers"][0]["qkv"]["w"].dtype == jnp.int8
+        assert params["layers"][0]["down"]["s"].shape == (TINY.hidden_size,)
     # Distinct layers must get distinct random weights (fold_in per layer).
-    w = np.asarray(params["layers"]["o"]["w"], np.float32)
-    assert not np.array_equal(w[0], w[1])
+    w0 = np.asarray(params["layers"][0]["o"]["w"], np.float32)
+    w1 = np.asarray(params["layers"][1]["o"]["w"], np.float32)
+    assert not np.array_equal(w0, w1)

@@ -46,14 +46,14 @@ def prompts():
 def test_params_actually_sharded(params):
     mesh = make_mesh(dp=2, tp=4)
     sharded = shard_params(CFG, params, mesh)
-    qkv_w = sharded["layers"]["qkv"]["w"]
+    qkv_w = sharded["layers"][0]["qkv"]["w"]
     # column-sharded over tp: each shard holds out/4 columns
     shard_shapes = {s.data.shape for s in qkv_w.addressable_shards}
     full = qkv_w.shape
-    assert shard_shapes == {(full[0], full[1], full[2] // 4)}
-    down_w = sharded["layers"]["down"]["w"]
+    assert shard_shapes == {(full[0], full[1] // 4)}
+    down_w = sharded["layers"][0]["down"]["w"]
     shard_shapes = {s.data.shape for s in down_w.addressable_shards}
-    assert shard_shapes == {(down_w.shape[0], down_w.shape[1] // 4, down_w.shape[2])}
+    assert shard_shapes == {(down_w.shape[0] // 4, down_w.shape[1])}
 
 
 @pytest.mark.parametrize("dp,tp", [(1, 8), (2, 4), (1, 2)])

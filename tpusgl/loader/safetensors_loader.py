@@ -11,9 +11,9 @@ full fp materialization. Here loading is truly streaming and shard-aware:
   as model_loader.py:174-249) and quantized to INT8/INT4 *on the host* in
   numpy, so the full bf16 weights never exist on any device;
 - the quantized layer is `jax.device_put` directly to its per-layer
-  NamedSharding (when a mesh is given) and scattered into preallocated
-  stacked [L, ...] device buffers with ONE donated jitted
-  dynamic-update-slice program — in-place on device, O(1) extra HBM.
+  NamedSharding (when a mesh is given); layers stay UNSTACKED (a tuple of
+  per-layer weight trees) so the matmul kernels read each weight buffer in
+  place — no [L, ...] slicing temps in the compiled programs.
 
 Peak host memory is one layer's worth of fp32 (plus the mmap, which the OS
 pages); peak device memory is the final (quantized, sharded) model plus one
@@ -149,15 +149,15 @@ def _quantize_linear_np(
 
 
 # --------------------------------------------------------------------------
-# Stacked-buffer streaming
+# Per-layer streaming
 # --------------------------------------------------------------------------
 
 
 def layer_struct(
     cfg: ModelConfig, quant: Optional[QuantConfig], dtype
 ) -> Dict[str, Any]:
-    """ShapeDtypeStruct tree for ONE layer's params (no leading L axis), in
-    the final (possibly quantized) storage layout."""
+    """ShapeDtypeStruct tree for ONE layer's params, in the final (possibly
+    quantized) storage layout."""
     H, I = cfg.hidden_size, cfg.intermediate_size
     qkv_out = cfg.q_size + 2 * cfg.kv_size
     wd = quant.weight_dtype if quant is not None else "bf16"
@@ -190,45 +190,35 @@ def layer_struct(
 
 
 class LayerStreamer:
-    """Preallocates the stacked [L, ...] device buffers (sharded when a mesh
-    is given) and scatters one layer at a time with a single donated jitted
-    dynamic-update-slice program — the device-side half of streaming load."""
+    """Places one layer's weights at a time: each weight becomes its own
+    device buffer at its per-layer NamedSharding (when a mesh is given).
+    Layers stay UNSTACKED (params['layers'] is a tuple of per-layer trees) so
+    the matmul kernels read the buffers in place — a stacked [L, ...] layout
+    made XLA materialize every layer's slice as an HLO temp feeding the
+    Pallas kernels (~GBs of copies at 7B)."""
 
     def __init__(self, cfg: ModelConfig, quant: Optional[QuantConfig], dtype,
                  mesh=None):
-        L = cfg.num_hidden_layers
-        self.L = L
-        layer_av = layer_struct(cfg, quant, dtype)
-        stacked_av = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct((L, *a.shape), a.dtype), layer_av
-        )
+        self.L = cfg.num_hidden_layers
         self.layer_shardings = None
-        out_sh = None
         if mesh is not None:
-            from tpusgl.parallel.mesh import drop_leading_axis, layers_shardings
+            from tpusgl.parallel.mesh import layer_shardings
 
-            out_sh = layers_shardings(stacked_av, mesh)
-            self.layer_shardings = jax.tree.map(drop_leading_axis, out_sh)
-        alloc = jax.jit(
-            lambda: jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), stacked_av),
-            out_shardings=out_sh,
-        )
-        self.bufs = alloc()
-        self._scatter = jax.jit(
-            lambda bufs, x, l: jax.tree.map(
-                lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, l, 0),
-                bufs, x,
-            ),
-            donate_argnums=0,
-        )
+            self.layer_shardings = layer_shardings(
+                layer_struct(cfg, quant, dtype), mesh
+            )
+        self.bufs: list = []
 
     def set_layer(self, l: int, layer_host: Dict[str, Any]) -> None:
         """layer_host: numpy tree matching layer_struct (already quantized)."""
+        assert l == len(self.bufs), (l, len(self.bufs))
         if self.layer_shardings is not None:
-            layer_host = jax.tree.map(
+            layer_dev = jax.tree.map(
                 jax.device_put, layer_host, self.layer_shardings
             )
-        self.bufs = self._scatter(self.bufs, layer_host, np.int32(l))
+        else:
+            layer_dev = jax.tree.map(jnp.asarray, layer_host)
+        self.bufs.append(layer_dev)
 
 
 def _read_layer_np(
@@ -282,10 +272,9 @@ def load_params(
     dtype=jnp.bfloat16,
     mesh=None,
 ) -> Dict[str, Any]:
-    """Load HF-layout safetensors into the stacked-layer params pytree,
-    streaming layer by layer (see module docstring): host-quantize each
-    layer, place it at its per-layer NamedSharding (when `mesh` is given),
-    scatter into the preallocated stacked device buffers."""
+    """Load HF-layout safetensors into the params pytree, streaming layer by
+    layer (see module docstring): host-quantize each layer, place it at its
+    per-layer NamedSharding (when `mesh` is given)."""
     if quant is not None and quant.weight_dtype == "bf16":
         quant = None
     reader = _ShardIndex(ckpt_dir)
@@ -309,7 +298,7 @@ def load_params(
     params: Dict[str, Any] = {
         "embed": put_vocab(_np_cast(reader.get("model.embed_tokens.weight"), dtype)),
         "final_norm": put_rep(_np_cast(reader.get("model.norm.weight"), dtype)),
-        "layers": streamer.bufs,
+        "layers": tuple(streamer.bufs),
     }
     if not cfg.tie_word_embeddings:
         # Some checkpoints omit lm_head.weight when it duplicates the
@@ -333,10 +322,11 @@ def init_params_streamed(
     mesh=None,
 ) -> Dict[str, Any]:
     """Random-init params layer by layer on device: generate one layer in
-    bf16, quantize it, scatter into the stacked buffers — peak device memory
-    is the final (quantized, sharded) model plus one bf16 layer, vs
-    init_params + quantize_params which needs the full bf16 model resident
-    first (OOM for 7B on a 16 GB chip). Used by the synthetic bench path."""
+    bf16 and quantize it in one jitted program placed directly at the layer's
+    shardings — peak device memory is the final (quantized, sharded) model
+    plus one bf16 layer, vs init_params + quantize_params which needs the
+    full bf16 model resident first (OOM for 7B on a 16 GB chip). Used by the
+    synthetic bench path."""
     import math
 
     if quant is not None and quant.weight_dtype == "bf16":
@@ -372,16 +362,10 @@ def init_params_streamed(
             "down": lin(ks[3], I, H, False),
         }
 
-    step = jax.jit(
-        lambda bufs, k, l: jax.tree.map(
-            lambda b, v: jax.lax.dynamic_update_index_in_dim(b, v, l, 0),
-            bufs, init_layer(k),
-        ),
-        donate_argnums=0,
+    step = jax.jit(init_layer, out_shardings=streamer.layer_shardings)
+    layers = tuple(
+        step(jax.random.fold_in(key, l)) for l in range(cfg.num_hidden_layers)
     )
-    bufs = streamer.bufs
-    for l in range(cfg.num_hidden_layers):
-        bufs = step(bufs, jax.random.fold_in(key, l), np.int32(l))
 
     if mesh is not None:
         from tpusgl.parallel.mesh import _ns
@@ -402,7 +386,7 @@ def init_params_streamed(
         "final_norm": jax.jit(
             lambda: jnp.ones((H,), dtype), out_shardings=rep_sh
         )(),
-        "layers": bufs,
+        "layers": layers,
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = jax.jit(vocab_init, out_shardings=vocab_sh)(
@@ -420,15 +404,18 @@ def quantize_params(params: Dict[str, Any], quant: QuantConfig) -> Dict[str, Any
     """Quantize the matmul weights (embed / norms / lm_head stay fp — the
     LM head dominates PPL sensitivity and embed gather is bandwidth-trivial)."""
     out = dict(params)
-    layers = dict(params["layers"])
-    qfn = (
+    qfn = jax.jit(
         quantize_linear_int8
         if quant.weight_dtype == "int8"
         else lambda lin: quantize_linear_int4(lin, quant.group_size)
     )
-    for name in ("qkv", "o", "gate_up", "down"):
-        layers[name] = jax.jit(qfn)(layers[name])
-    out["layers"] = layers
+    new_layers = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        for name in ("qkv", "o", "gate_up", "down"):
+            layer[name] = qfn(layer[name])
+        new_layers.append(layer)
+    out["layers"] = tuple(new_layers)
     return out
 
 
@@ -454,25 +441,24 @@ def save_params_hf_layout(
     put("model.norm.weight", params["final_norm"])
     if not cfg.tie_word_embeddings:
         put("lm_head.weight", params["lm_head"])
-    layers = params["layers"]
-    for l in range(cfg.num_hidden_layers):
+    for l, layer in enumerate(params["layers"]):
         p = f"model.layers.{l}."
-        put(p + "input_layernorm.weight", layers["input_norm"][l])
-        put(p + "post_attention_layernorm.weight", layers["post_norm"][l])
-        w = np.asarray(layers["qkv"]["w"][l], np.float32)
+        put(p + "input_layernorm.weight", layer["input_norm"])
+        put(p + "post_attention_layernorm.weight", layer["post_norm"])
+        w = np.asarray(layer["qkv"]["w"], np.float32)
         put(p + "self_attn.q_proj.weight", w[:, :q].T)
         put(p + "self_attn.k_proj.weight", w[:, q : q + kv].T)
         put(p + "self_attn.v_proj.weight", w[:, q + kv :].T)
-        if "b" in layers["qkv"]:
-            b = np.asarray(layers["qkv"]["b"][l], np.float32)
+        if "b" in layer["qkv"]:
+            b = np.asarray(layer["qkv"]["b"], np.float32)
             put(p + "self_attn.q_proj.bias", b[:q])
             put(p + "self_attn.k_proj.bias", b[q : q + kv])
             put(p + "self_attn.v_proj.bias", b[q + kv :])
-        put(p + "self_attn.o_proj.weight", np.asarray(layers["o"]["w"][l]).T)
-        gu = np.asarray(layers["gate_up"]["w"][l], np.float32)
+        put(p + "self_attn.o_proj.weight", np.asarray(layer["o"]["w"]).T)
+        gu = np.asarray(layer["gate_up"]["w"], np.float32)
         put(p + "mlp.gate_proj.weight", gu[:, :inter].T)
         put(p + "mlp.up_proj.weight", gu[:, inter:].T)
-        put(p + "mlp.down_proj.weight", np.asarray(layers["down"]["w"][l]).T)
+        put(p + "mlp.down_proj.weight", np.asarray(layer["down"]["w"]).T)
     save_file(tensors, os.path.join(out_dir, "model.safetensors"))
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(

@@ -79,23 +79,34 @@ def init_params(
         )
 
     qkv_out = cfg.q_size + 2 * cfg.kv_size
+
+    def one_layer(k):
+        ks = jax.random.split(k, 4)
+        return {
+            "input_norm": jnp.ones((H,), dtype),
+            "post_norm": jnp.ones((H,), dtype),
+            "qkv": init_linear(
+                ks[0], None, H, qkv_out, dtype, bias=cfg.attention_bias
+            ),
+            "o": init_linear(ks[1], None, cfg.q_size, H, dtype, bias=False),
+            "gate_up": init_linear(
+                ks[2], None, H, 2 * cfg.intermediate_size, dtype, bias=False
+            ),
+            "down": init_linear(
+                ks[3], None, cfg.intermediate_size, H, dtype, bias=False
+            ),
+        }
+
+    # Layers are a TUPLE of per-layer trees, not stacked [L, ...] arrays:
+    # each weight is then its own device buffer read in place by the (Pallas)
+    # matmuls — a stacked layout made XLA materialize every layer's slice as
+    # an HLO temp feeding the kernels (~GBs of copies at 7B; observed OOM).
     params: Params = {
         "embed": norm_init(keys[0], (cfg.vocab_size, H), H),
         "final_norm": jnp.ones((H,), dtype),
-        "layers": {
-            "input_norm": jnp.ones((L, H), dtype),
-            "post_norm": jnp.ones((L, H), dtype),
-            "qkv": init_linear(
-                keys[1], L, H, qkv_out, dtype, bias=cfg.attention_bias
-            ),
-            "o": init_linear(keys[2], L, cfg.q_size, H, dtype, bias=False),
-            "gate_up": init_linear(
-                keys[3], L, H, 2 * cfg.intermediate_size, dtype, bias=False
-            ),
-            "down": init_linear(
-                keys[4], L, cfg.intermediate_size, H, dtype, bias=False
-            ),
-        },
+        "layers": tuple(
+            one_layer(jax.random.fold_in(keys[1], l)) for l in range(L)
+        ),
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = norm_init(keys[5], (cfg.vocab_size, H), H)
@@ -157,11 +168,10 @@ def forward_hidden(
     """Run the decoder stack; returns (hidden [B, S, H] after final norm,
     kv_k', kv_v').
 
-    Layers are python-unrolled: per-layer weights index the stacked arrays
-    with a static index (an XLA offset view, no copy) and each layer updates
-    its own KV buffer with a canonical in-place scatter. A lax.scan over
-    stacked weights + a traced layer id was measured to make XLA rewrite the
-    whole multi-GB pool every step (see ops/attention.py docstring).
+    Layers are python-unrolled over the per-layer weight trees and each layer
+    updates its own KV buffer with a canonical in-place scatter. A lax.scan
+    over stacked weights + a traced layer id was measured to make XLA rewrite
+    the whole multi-GB pool every step (see ops/attention.py docstring).
 
     `meta.positions` drives both RoPE and causal masking; padding tokens have
     out_loc 0 (dummy slot) so their KV writes are harmless.
@@ -177,7 +187,7 @@ def forward_hidden(
     kv = list(kv)
     residual = hidden
     for l in range(L):
-        lp = jax.tree.map(lambda a: a[l], layer_params)
+        lp = layer_params[l]
         hidden, residual, kv[l] = _layer(
             cfg, lp, l, hidden, residual, cos, sin, kv[l], meta, attn_impl,
         )

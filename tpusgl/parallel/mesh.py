@@ -42,36 +42,22 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def drop_leading_axis(ns: NamedSharding) -> NamedSharding:
-    """[L, ...] stacked-tensor sharding -> the per-layer slice's sharding
-    (used by the streaming loader to place one layer before scattering it
-    into the stacked device buffer)."""
-    return NamedSharding(ns.mesh, P(*tuple(ns.spec)[1:]))
-
-
-def layers_shardings(layers: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Sharding pytree for the stacked `params['layers']` subtree (leaves may
-    be arrays or ShapeDtypeStructs — only .ndim is consulted)."""
+def layer_shardings(layer: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Sharding pytree for ONE layer's weight tree (leaves may be arrays or
+    ShapeDtypeStructs — shapes are not consulted)."""
     def lin_shard(col: bool):
         # col: shard output axis; row: shard input axis.
-        def shard_leaf(path_leaf_name, leaf):
-            nd = leaf.ndim
-            if path_leaf_name in ("w", "w4"):
+        def shard_leaf(name, leaf):
+            if name in ("w", "w4"):
                 # "w4" packs two in-rows per byte within a group, so a tp
                 # shard of the (packed) in axis still owns whole groups.
-                if nd == 3:  # [L, in, out]
-                    return _ns(mesh, None, None, "tp") if col else _ns(
-                        mesh, None, "tp", None
-                    )
                 return _ns(mesh, None, "tp") if col else _ns(mesh, "tp", None)
-            if path_leaf_name == "b":
-                return _ns(mesh, None, "tp") if col else _ns(mesh, None)
-            if path_leaf_name == "s":  # int8 scales [L, out]
-                return _ns(mesh, None, "tp") if col else _ns(mesh, None)
-            if path_leaf_name == "gs":  # int4 scales [L, in//G, out]
-                return _ns(mesh, None, None, "tp") if col else _ns(
-                    mesh, None, "tp", None
-                )
+            if name == "b":
+                return _ns(mesh, "tp") if col else _ns(mesh)
+            if name == "s":  # int8 scales [out]
+                return _ns(mesh, "tp") if col else _ns(mesh)
+            if name == "gs":  # int4 scales [in//G, out]
+                return _ns(mesh, None, "tp") if col else _ns(mesh, "tp", None)
             return _ns(mesh)
         return shard_leaf
 
@@ -82,21 +68,24 @@ def layers_shardings(layers: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return {
         "input_norm": _ns(mesh),
         "post_norm": _ns(mesh),
-        "qkv": map_linear(layers["qkv"], col=True),
-        "o": map_linear(layers["o"], col=False),
-        "gate_up": map_linear(layers["gate_up"], col=True),
-        "down": map_linear(layers["down"], col=False),
+        "qkv": map_linear(layer["qkv"], col=True),
+        "o": map_linear(layer["o"], col=False),
+        "gate_up": map_linear(layer["gate_up"], col=True),
+        "down": map_linear(layer["down"], col=False),
     }
 
 
 def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
-    """Sharding pytree matching the params structure."""
+    """Sharding pytree matching the params structure (layers are a tuple of
+    per-layer trees)."""
     out: Dict[str, Any] = {
         "embed": _ns(mesh, "tp", None),
         "final_norm": _ns(mesh),
         "rope_cos": _ns(mesh),
         "rope_sin": _ns(mesh),
-        "layers": layers_shardings(params["layers"], mesh),
+        "layers": tuple(
+            layer_shardings(layer, mesh) for layer in params["layers"]
+        ),
     }
     if "lm_head" in params:
         out["lm_head"] = _ns(mesh, "tp", None)

@@ -111,6 +111,15 @@ class Scheduler:
             "cached_tokens": 0,
             "retractions": 0,
             "ttft_s": [],
+            # Roofline accounting (SURVEY.md §6): decode model-forward
+            # iterations (each streams the full weights from HBM) and total
+            # KV-cache tokens read by decode attention, summed over every
+            # iteration of every window.
+            "decode_iters": 0,
+            "decode_kv_token_reads": 0,
+            # decode_tokens per submission over time (tail-efficiency
+            # diagnostic: how much of the padded batch is real work).
+            "decode_batch_sizes": [],
         }
 
     # ------------------------------------------------------------------ API
@@ -129,6 +138,7 @@ class Scheduler:
         self.metrics.update(
             prefill_steps=0, decode_steps=0, decode_tokens=0,
             prefill_tokens=0, cached_tokens=0, retractions=0,
+            decode_iters=0, decode_kv_token_reads=0,
         )
 
     def make_request(
@@ -653,6 +663,12 @@ class Scheduler:
         )
         self.metrics["decode_steps"] += 1
         self.metrics["decode_tokens"] += B * K
+        self.metrics["decode_iters"] += K
+        # Iteration k reads seq_lens0 + k tokens of KV per sequence.
+        self.metrics["decode_kv_token_reads"] += int(
+            K * int(seq_lens0[:B].sum()) + B * K * (K - 1) // 2
+        )
+        self.metrics["decode_batch_sizes"].append(B)
         return _Submission(
             mode="decode",
             requests=list(batch),
