@@ -200,6 +200,8 @@ class LayerStreamer:
     def __init__(self, cfg: ModelConfig, quant: Optional[QuantConfig], dtype,
                  mesh=None):
         self.L = cfg.num_hidden_layers
+        self.cfg = cfg
+        self.tp = 1 if mesh is None else int(mesh.shape["tp"])
         self.layer_shardings = None
         if mesh is not None:
             from tpusgl.parallel.mesh import layer_shardings
@@ -213,6 +215,9 @@ class LayerStreamer:
         """layer_host: numpy tree matching layer_struct (already quantized)."""
         assert l == len(self.bufs), (l, len(self.bufs))
         if self.layer_shardings is not None:
+            from tpusgl.parallel.mesh import permute_layer_for_tp
+
+            layer_host = permute_layer_for_tp(layer_host, self.cfg, self.tp)
             layer_dev = jax.tree.map(
                 jax.device_put, layer_host, self.layer_shardings
             )
@@ -353,7 +358,7 @@ def init_params_streamed(
                 d["b"] = jnp.zeros((out_dim,), dtype)
             return d
 
-        return {
+        layer = {
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
             "qkv": lin(ks[0], H, qkv_out, cfg.attention_bias),
@@ -361,6 +366,11 @@ def init_params_streamed(
             "gate_up": lin(ks[2], H, 2 * I, False),
             "down": lin(ks[3], I, H, False),
         }
+        if streamer.tp > 1:
+            from tpusgl.parallel.mesh import permute_layer_for_tp
+
+            layer = permute_layer_for_tp(layer, cfg, streamer.tp)
+        return layer
 
     step = jax.jit(init_layer, out_shardings=streamer.layer_shardings)
     layers = tuple(

@@ -127,21 +127,37 @@ def _layer(
     kv_l: jnp.ndarray,
     meta: AttnMeta,
     attn_impl: Callable,
+    tp: int = 1,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decoder layer. With tp > 1 this body runs INSIDE shard_map on
+    LOCAL shards (Megatron layout, parallel/mesh.py): qkv/gate_up are
+    column-parallel over tp-interleaved fused segments (permute_layer_for_tp)
+    so the local fused output is [q_s | k_s | v_s] / [gate_s | up_s]; o/down
+    are row-parallel with an explicit psum. The reference's TP never ran
+    (/root/reference/tp_runtime.py:10-51 is dead code)."""
     B, S, _ = hidden.shape
-    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    Hq = cfg.num_attention_heads // tp
+    Hkv = cfg.num_key_value_heads // tp
+    D = cfg.head_dim
+    q_size, kv_size = cfg.q_size // tp, cfg.kv_size // tp
+    inter = cfg.intermediate_size // tp
 
     # Self-attention block (pre-norm with fused residual add, qwen2.py:105-123).
     normed = rms_norm(hidden, layer_params["input_norm"], cfg.rms_norm_eps)
     qkv = apply_linear(normed, layer_params["qkv"])
-    q = qkv[..., : cfg.q_size].reshape(B, S, Hq, D)
-    k = qkv[..., cfg.q_size : cfg.q_size + cfg.kv_size].reshape(B, S, Hkv, D)
-    v = qkv[..., cfg.q_size + cfg.kv_size :].reshape(B, S, Hkv, D)
+    q = qkv[..., :q_size].reshape(B, S, Hq, D)
+    k = qkv[..., q_size : q_size + kv_size].reshape(B, S, Hkv, D)
+    v = qkv[..., q_size + kv_size :].reshape(B, S, Hkv, D)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
     attn_out, kv_l = attn_impl(layer_idx, q, k, v, kv_l, meta)
+    # Row-parallel projections have no bias in this architecture family;
+    # a bias here would be added once per shard before the psum.
     attn_out = apply_linear(attn_out.reshape(B, S, Hq * D), layer_params["o"])
+    if axis_name is not None:
+        attn_out = jax.lax.psum(attn_out, axis_name)
 
     hidden = residual + attn_out
     residual = hidden
@@ -149,12 +165,28 @@ def _layer(
     # MLP block: SwiGLU with fused gate/up (qwen2.py:199-222).
     normed = rms_norm(hidden, layer_params["post_norm"], cfg.rms_norm_eps)
     gate_up = apply_linear(normed, layer_params["gate_up"])
-    gate = gate_up[..., : cfg.intermediate_size]
-    up = gate_up[..., cfg.intermediate_size :]
+    gate = gate_up[..., :inter]
+    up = gate_up[..., inter:]
     mlp_out = apply_linear(jax.nn.silu(gate) * up, layer_params["down"])
+    if axis_name is not None:
+        mlp_out = jax.lax.psum(mlp_out, axis_name)
 
     hidden = residual + mlp_out
     return hidden, hidden, kv_l
+
+
+def _embed_lookup(
+    embed: jnp.ndarray, input_ids: jnp.ndarray, axis_name: Optional[str]
+) -> jnp.ndarray:
+    """Token embedding gather; with a vocab-sharded table inside shard_map,
+    each shard gathers its own id range and a psum assembles the rows."""
+    if axis_name is None:
+        return jnp.take(embed, input_ids, axis=0)
+    v_local = embed.shape[0]
+    local = input_ids - jax.lax.axis_index(axis_name) * v_local
+    ok = (local >= 0) & (local < v_local)
+    h = jnp.take(embed, jnp.clip(local, 0, v_local - 1), axis=0)
+    return jax.lax.psum(jnp.where(ok[..., None], h, 0), axis_name)
 
 
 def forward_hidden(
@@ -164,6 +196,8 @@ def forward_hidden(
     meta: AttnMeta,
     kv,  # tuple of L arrays [num_slots+1, Hkv*2*D]
     attn_impl: Callable = ref_attention,
+    tp: int = 1,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, tuple]:
     """Run the decoder stack; returns (hidden [B, S, H] after final norm,
     kv_k', kv_v').
@@ -176,7 +210,7 @@ def forward_hidden(
     `meta.positions` drives both RoPE and causal masking; padding tokens have
     out_loc 0 (dummy slot) so their KV writes are harmless.
     """
-    hidden = jnp.take(params["embed"], input_ids, axis=0)
+    hidden = _embed_lookup(params["embed"], input_ids, axis_name)
 
     cos = jnp.take(params["rope_cos"], meta.positions, axis=0)  # [B, S, D/2]
     sin = jnp.take(params["rope_sin"], meta.positions, axis=0)
@@ -190,6 +224,7 @@ def forward_hidden(
         lp = layer_params[l]
         hidden, residual, kv[l] = _layer(
             cfg, lp, l, hidden, residual, cos, sin, kv[l], meta, attn_impl,
+            tp=tp, axis_name=axis_name,
         )
 
     hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
@@ -203,11 +238,13 @@ def forward(
     meta: AttnMeta,
     kv,
     attn_impl: Callable = ref_attention,
+    tp: int = 1,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, tuple]:
     """Decoder stack + last-real-token gather: (last_hidden [B, H], kv')."""
     B, S = input_ids.shape
     hidden, kv = forward_hidden(
-        params, cfg, input_ids, meta, kv, attn_impl
+        params, cfg, input_ids, meta, kv, attn_impl, tp=tp, axis_name=axis_name
     )
     # Gather each request's last real token (ext_lens - 1, clamped for padding
     # rows) — avoids the reference's full-vocab matmul over every prefill token

@@ -125,12 +125,16 @@ def dequantize_weight(lin: Linear, dtype: jnp.dtype) -> jnp.ndarray:
 # Trace-time switch set by the Engine (EngineConfig.use_quant_matmul): route
 # int8/int4 linears through the Pallas fused dequant+matmul kernel
 # (ops/quant_matmul.py) instead of the jnp dequant-into-dot expression.
+# `interpret` runs the kernel in Pallas interpret mode (CPU tests of the
+# kernel under shard_map TP).
 _USE_QUANT_MATMUL = False
+_QM_INTERPRET = False
 
 
-def enable_quant_matmul(on: bool) -> None:
-    global _USE_QUANT_MATMUL
+def enable_quant_matmul(on: bool, interpret: bool = False) -> None:
+    global _USE_QUANT_MATMUL, _QM_INTERPRET
     _USE_QUANT_MATMUL = bool(on)
+    _QM_INTERPRET = bool(interpret)
 
 
 def apply_linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
@@ -141,7 +145,7 @@ def apply_linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
         from tpusgl.ops.quant_matmul import quant_matmul_any
 
         try:
-            return quant_matmul_any(x, lin)
+            return quant_matmul_any(x, lin, interpret=_QM_INTERPRET)
         except ValueError:
             pass  # shape not covered -> jnp path below
     if "w4" in lin:

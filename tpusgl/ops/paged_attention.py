@@ -50,11 +50,11 @@ def _decode_kernel(
     #   tbl_ref    SMEM [B, pages_per_seq] i32 — page ids
     #   q_ref      VMEM [SB, Hq, D]
     #   kv_hbm     ANY  [(num_pages+1)*P, Hkv*2*D]
-    #   scale_hbm  ANY  [num_pages+1, Hkv*2*P] f32         (has_scale only;
-    #              page-major per-token scales, ops/attention.scale_cols)
+    #   scale_hbm  ANY  [(num_pages+1)*P, Hkv*2] f32       (has_scale only;
+    #              row-per-token scales, col 2h+kv — same row ids as kv_hbm)
     #   out_ref    VMEM [SB, Hq, D]
     #   bufs       VMEM [2, BP, P, Hkv*2*D] scratch
-    #   sbufs      VMEM [2, BP, 1, Hkv*2*P] f32 scratch    (has_scale only)
+    #   sbufs      VMEM [2, BP*P, Hkv*2] f32 scratch       (has_scale only)
     #   sems       DMA sems (2,)
     #   slot_ref   SMEM (1,) i32 — buffer parity carried across grid steps
     *refs,
@@ -107,8 +107,8 @@ def _decode_kernel(
             if has_scale:
                 copies.append(
                     pltpu.make_async_copy(
-                        scale_hbm.at[pl.ds(pid, 1)],
-                        sbufs.at[slot, i],
+                        scale_hbm.at[pl.ds(row0, P)],
+                        sbufs.at[slot, pl.ds(i * P, P)],
                         sems.at[slot],
                     )
                 )
@@ -176,8 +176,11 @@ def _decode_kernel(
                     c.wait()
 
                 kvb = bufs[slot]  # [BP, P, Hkv*2*D]
-                # [BP, Hkv*2*P]: per-page scale rows, cols (2h+kv)*P + t
-                svb = sbufs[slot][:, 0, :] if has_scale else None
+                # [N, Hkv*2]: per-token scale rows, col 2h+kv. Lane slices of
+                # width 1 give [N, 1] columns that broadcast over the K/V
+                # tiles' lanes — no sublane<->lane reshape (Mosaic rejects a
+                # page-major [BP, P] -> [1, N] cast).
+                svb = sbufs[slot] if has_scale else None
                 pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
                 valid = pos < kv_len  # [1, N]
 
@@ -194,6 +197,9 @@ def _decode_kernel(
                     else:
                         k_h = k_h.astype(jnp.float32)
                         v_h = v_h.astype(jnp.float32)
+                    if has_scale:
+                        k_h = k_h * svb[:, 2 * h : 2 * h + 1]
+                        v_h = v_h * svb[:, 2 * h + 1 : 2 * h + 2]
                     q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
 
                     sc = jax.lax.dot_general(
@@ -201,19 +207,12 @@ def _decode_kernel(
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     ) * sm_scale  # [G, N]
-                    if has_scale:
-                        # Per-token dequant folded into the score/prob columns
-                        # ([1, N] row broadcasts) instead of scaling the [N, D]
-                        # K/V tiles — far fewer multiplies per block.
-                        sc = sc * svb[:, 2 * h * P : (2 * h + 1) * P].reshape(1, N)
                     sc = jnp.where(valid, sc, NEG_INF)
 
                     m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
                     p = jnp.exp(sc - m_h)
                     alpha = jnp.exp(m[h] - m_h)
                     l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
-                    if has_scale:
-                        p = p * svb[:, (2 * h + 1) * P : (2 * h + 2) * P].reshape(1, N)
                     pv = jax.lax.dot_general(
                         p, v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -252,7 +251,7 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
-    kv_scale: Optional[jnp.ndarray] = None,  # [num_pages+1, Hkv*2*P] f32 page-major
+    kv_scale: Optional[jnp.ndarray] = None,  # [(num_pages+1)*P, Hkv*2] f32 row/token
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Hq, D = q.shape
@@ -292,11 +291,11 @@ def paged_decode_attention(
     ]
     operands = [kv_lens, page_tbl, q, kv_l]
     if has_scale:
-        assert kv_scale.shape == (kv_l.shape[0] // page_size, row_sw := num_kv_heads * 2 * page_size), (
-            kv_scale.shape, kv_l.shape, page_size)
+        assert kv_scale.shape == (kv_l.shape[0], num_kv_heads * 2), (
+            kv_scale.shape, kv_l.shape, num_kv_heads)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes.insert(
-            1, pltpu.VMEM((2, BP, 1, row_sw), jnp.float32)
+            1, pltpu.VMEM((2, BP * page_size, num_kv_heads * 2), jnp.float32)
         )
         operands.append(kv_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -42,6 +42,63 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def fused_out_perm(sizes, tp: int) -> np.ndarray:
+    """Column permutation that makes a contiguous tp-shard of a FUSED output
+    axis own matching blocks of every segment.
+
+    A fused weight (qkv: [q | k | v], gate_up: [gate | up]) column-sharded
+    naively gives shard s an arbitrary slice crossing segment boundaries.
+    Reordering columns to [seg0_0, seg1_0, ..., seg0_1, seg1_1, ...] makes
+    shard s's contiguous block exactly [q_s | k_s | v_s] — what the
+    shard_map'd layer body slices locally (models/qwen2._layer)."""
+    offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    idx = []
+    for s in range(tp):
+        for o, sz in zip(offs, sizes):
+            assert sz % tp == 0, (sizes, tp)
+            c = sz // tp
+            idx.extend(range(o + s * c, o + (s + 1) * c))
+    return np.asarray(idx, np.int32)
+
+
+def _permute_linear_out(lin: Dict[str, Any], perm: np.ndarray) -> Dict[str, Any]:
+    """Apply an output-axis permutation to every leaf of a linear (the out
+    axis is last for w/w4/s/gs/b). Works on numpy or jax arrays; quantization
+    scales are per-output-column, so permuting after quantization equals
+    quantizing the permuted weight."""
+    out = {}
+    for k, v in lin.items():
+        if isinstance(v, np.ndarray):
+            out[k] = np.take(v, perm, axis=-1)
+        else:
+            import jax.numpy as jnp
+
+            out[k] = jnp.take(v, perm, axis=-1)
+    return out
+
+
+def permute_layer_for_tp(
+    layer: Dict[str, Any], cfg: ModelConfig, tp: int
+) -> Dict[str, Any]:
+    """tp-interleave the fused qkv / gate_up output columns of one layer
+    (identity when tp == 1). o/down need no permutation: their input axes
+    (q-head-major / intermediate) are already contiguous per shard."""
+    if tp == 1:
+        return layer
+    out = dict(layer)
+    out["qkv"] = _permute_linear_out(
+        layer["qkv"],
+        fused_out_perm((cfg.q_size, cfg.kv_size, cfg.kv_size), tp),
+    )
+    out["gate_up"] = _permute_linear_out(
+        layer["gate_up"],
+        fused_out_perm(
+            (cfg.intermediate_size, cfg.intermediate_size), tp
+        ),
+    )
+    return out
+
+
 def layer_shardings(layer: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Sharding pytree for ONE layer's weight tree (leaves may be arrays or
     ShapeDtypeStructs — shapes are not consulted)."""
@@ -110,6 +167,12 @@ def state_shardings(mesh: Mesh, state) -> Any:
 
 
 def shard_params(cfg: ModelConfig, params, mesh: Mesh):
+    """Permute fused layouts for tp and place every leaf at its sharding."""
+    tp = mesh.shape["tp"]
+    params = dict(params)
+    params["layers"] = tuple(
+        permute_layer_for_tp(layer, cfg, tp) for layer in params["layers"]
+    )
     shardings = param_shardings(cfg, params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
 

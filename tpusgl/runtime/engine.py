@@ -56,6 +56,7 @@ class Engine:
         seed: int = 0,
         attn_impl=None,
         sample_k_cap: int = 1024,
+        paged_kernel: Optional[bool] = None,
     ):
         self.model_cfg = model_cfg or resolve_model_config(model_id)
         self.cfg = engine_cfg or EngineConfig.from_env()
@@ -72,8 +73,12 @@ class Engine:
 
         # Attention backend: the Pallas paged kernel on TPU (HBM-speed page
         # streaming, one executable for all context lengths), jnp chunked
-        # attention elsewhere (CPU tests, virtual-device dry runs).
-        paged_kernel = False
+        # attention elsewhere (CPU tests, virtual-device dry runs). An
+        # explicit `paged_kernel=True` marks an injected attn_impl as
+        # page-table-consuming (tests run the Pallas kernel in interpret
+        # mode on CPU this way).
+        if paged_kernel is None:
+            paged_kernel = False
         if attn_impl is None:
             if jax.default_backend() == "tpu":
                 import functools
@@ -127,7 +132,7 @@ class Engine:
         self.steps = StepFunctions(
             params, self.model_cfg, self.cfg,
             attn_impl=attn_impl, sample_k_cap=sample_k_cap,
-            paged_kernel=self._paged_kernel,
+            paged_kernel=self._paged_kernel, mesh=self.mesh,
         )
         state = init_state(self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed)
         if self.mesh is not None:

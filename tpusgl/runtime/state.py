@@ -34,10 +34,12 @@ from tpusgl.ops.attention import make_kv_pool
 
 class EngineState(NamedTuple):
     kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
-    # Page-major per-token scales when kv is int8: one row per page, columns
-    # (2h + kv)*P + t (ops/attention.scale_cols) so the decode kernel DMAs a
-    # lane-aligned [1, Hkv*2*P] row per page.
-    kv_scale: Optional[tuple]  # L x [num_pages+1, Hkv*2*P] f32
+    # Per-token scales when kv is int8: ROW PER TOKEN, column 2h+kv —
+    # mirroring the pool's row indexing, so the decode kernel DMAs a page's
+    # scale rows exactly like its KV rows and reads [N, 1] column vectors
+    # with no layout cast (a page-major [page, Hkv*2*P] layout needed a
+    # sublane->lane reshape Mosaic rejects).
+    kv_scale: Optional[tuple]  # L x [(num_pages+1)*P, Hkv*2] f32
     last_token: jnp.ndarray    # [max_requests+1] int32
     presence: jnp.ndarray      # [max_requests+1, vocab] bool
     rng: jax.Array
@@ -59,11 +61,10 @@ def init_state(
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
     kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
-    scale_rows = kv[0].shape[0] // P  # num_pages + 1
     return EngineState(
         kv=kv,
         kv_scale=tuple(
-            jnp.zeros((scale_rows, Hkv * 2 * P), jnp.float32) for _ in range(L)
+            jnp.zeros((kv[0].shape[0], Hkv * 2), jnp.float32) for _ in range(L)
         )
         if quant_kv else None,
         last_token=jnp.zeros((R + 1,), jnp.int32),

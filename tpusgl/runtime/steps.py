@@ -65,6 +65,7 @@ class StepFunctions:
         attn_impl: Callable = chunked_attention,
         sample_k_cap: int = 1024,
         paged_kernel: bool = False,
+        mesh=None,
     ):
         self.params = params
         self.model_cfg = model_cfg
@@ -75,6 +76,7 @@ class StepFunctions:
         # True when attn_impl consumes meta.page_tbl directly (Pallas paged
         # kernel); False -> derive token rows for the jnp gather path.
         self.paged_kernel = paged_kernel
+        self.mesh = mesh
         self._decode_jit = {}
         self._prefill_jit = {}
 
@@ -83,19 +85,54 @@ class StepFunctions:
         # program variant shares them) — one cached trace + one lowered
         # shared function instead of re-tracing L layers per site. Same
         # trick as ops/paged_attention._jitted_paged_decode, one level up.
-        model, cfg, attn = self.model, model_cfg, attn_impl
-        self._fwd = jax.jit(
-            lambda params, ids, meta, kv: model.forward(
-                params, cfg, ids, meta, kv, attn_impl=attn
-            )
-        )
+        #
+        # With tp > 1 the decoder stack runs under shard_map on LOCAL shards
+        # (explicit Megatron TP, models/qwen2._layer): this is what lets the
+        # Pallas kernels partition — GSPMD cannot split a pallas_call, but
+        # under shard_map each shard runs the kernel on its own kv-heads /
+        # weight blocks, with two psums per layer for the row-parallel
+        # projections. lm_head + sampling stay outside (GSPMD handles the
+        # vocab-sharded logits). Replaces the reference's dead NCCL TP
+        # (/root/reference/tp_runtime.py:10-51).
         from tpusgl.ops.attention import extend_attention
 
-        self._fwd_prefill = jax.jit(
-            lambda params, ids, meta, kv: model.forward(
-                params, cfg, ids, meta, kv, attn_impl=extend_attention
+        model, cfg = self.model, model_cfg
+        tp = 1 if mesh is None else int(mesh.shape["tp"])
+
+        def make_fwd(attn):
+            if tp == 1:
+                return jax.jit(
+                    lambda params, ids, meta, kv: model.forward(
+                        params, cfg, ids, meta, kv, attn_impl=attn
+                    )
+                )
+            from jax.sharding import PartitionSpec as P
+
+            from tpusgl.parallel.mesh import param_shardings
+
+            assert cfg.num_key_value_heads % tp == 0, (
+                "tp must divide kv heads", cfg.num_key_value_heads, tp
             )
-        )
+            pspecs = jax.tree.map(
+                lambda ns: ns.spec, param_shardings(cfg, self.params, mesh)
+            )
+            kv_spec = P(None, "tp")  # pool minor dim = whole kv heads/shard
+            rep = P()
+            return jax.jit(
+                jax.shard_map(
+                    lambda params, ids, meta, kv: model.forward(
+                        params, cfg, ids, meta, kv, attn_impl=attn,
+                        tp=tp, axis_name="tp",
+                    ),
+                    mesh=mesh,
+                    in_specs=(pspecs, rep, rep, kv_spec),
+                    out_specs=(rep, kv_spec),
+                    check_vma=False,
+                )
+            )
+
+        self._fwd = make_fwd(attn_impl)
+        self._fwd_prefill = make_fwd(extend_attention)
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
         """AttnMeta for one decode iteration. kv_len only bounds the jnp
