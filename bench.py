@@ -66,12 +66,18 @@ def main() -> None:
     # resident at once (continuous batching still kicks in if it can't be).
     max_requests = args.max_requests or min(args.num_seqs, 256)
     ctx = 1 << (args.max_input + args.max_new_tokens - 1).bit_length()
+    # Per-token-scale INT8 KV needs 128-token pages on the compiled kernel
+    # (Mosaic lane-slice tiling, ops/paged_attention.py); same DMA block
+    # size either way (pages_per_block x page_size = 256 tokens).
+    page_size, ppb = (128, 2) if args.kv_dtype == "int8" else (32, 8)
     ecfg = EngineConfig.from_env(
         quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
         enable_overlap=not args.no_overlap,
         kv_len_bucket=512,
         max_requests=max_requests,
         max_total_tokens=max_requests * ctx,
+        page_size=page_size,
+        pages_per_block=ppb,
         decode_bs_buckets=(max_requests,),
         prefill_token_budget=args.prefill_budget,
         prefill_len_buckets=(128, 256, 512, 1024, 2048, 4096),

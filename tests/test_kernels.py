@@ -110,7 +110,7 @@ def test_paged_decode_per_token_kv_scales():
     v_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 1, :][None]
     pair = (
         jnp.zeros((rows_total, Hkv * 2 * D), jnp.int8),
-        jnp.zeros((rows_total, Hkv * 2), jnp.float32),
+        jnp.zeros((rows_total // P, Hkv * 2 * P), jnp.float32),
     )
     pair = write_kv(
         k_all, v_all, pair, jnp.arange(rows_total, dtype=jnp.int32)[None, :]

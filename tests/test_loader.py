@@ -69,14 +69,20 @@ def test_streaming_host_quant_matches_device_quant(ckpt, wd):
 
 def test_streaming_sharded_placement(ckpt):
     """With a mesh, every leaf lands at its Megatron-style NamedSharding and
-    the values equal the unsharded load."""
-    from tpusgl.parallel.mesh import make_mesh, param_shardings
+    the values equal the unsharded load after the tp fused-segment
+    permutation (parallel/mesh.permute_layer_for_tp)."""
+    from tpusgl.parallel.mesh import (
+        make_mesh, param_shardings, permute_layer_for_tp,
+    )
 
     d, _ = ckpt
     mesh = make_mesh(dp=2, tp=4)
     quant = QuantConfig(weight_dtype="int8")
     sharded = load_params(d, TINY, quant=quant, dtype=jnp.float32, mesh=mesh)
     plain = load_params(d, TINY, quant=quant, dtype=jnp.float32)
+    plain["layers"] = tuple(
+        permute_layer_for_tp(l, TINY, 4) for l in plain["layers"]
+    )
     _tree_equal(sharded, plain)
     # Compare shardings leaf-by-leaf (equivalent specs, same mesh).
     expect = param_shardings(TINY, sharded, mesh)

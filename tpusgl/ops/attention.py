@@ -106,29 +106,47 @@ def write_kv(
     row (memory_pool.py:82-84) — so no masking is needed.
 
     When `kv_l` is a (pool int8, scale f32) pair, K/V are quantized
-    symmetrically per (token, head, k/v). The scale pool has ONE ROW PER
-    TOKEN ([slots_padded, Hkv*2], column 2h+kv) mirroring the pool's row
-    indexing, so every scale access — this scatter, the jnp gather, and the
-    Pallas kernel's page DMA — uses the same row ids as the KV itself.
-    Replaces the reference's NotImplementedError fp8 stubs
-    (memory_pool.py:55-59, 139-147) with a working INT8 KV path."""
+    symmetrically per (token, head, k/v) — scale row layout [Hkv*2] matches
+    the k/v-interleaved pool minor dim — replacing the reference's
+    NotImplementedError fp8 stubs (memory_pool.py:55-59, 139-147) with a
+    working INT8 KV path."""
     B, S, Hkv, D = k_new.shape
     flat_loc = out_loc.reshape(-1)
     rows = jnp.stack([k_new, v_new], axis=3)  # [B, S, Hkv, 2, D]
     if isinstance(kv_l, tuple):
         buf, sc = kv_l
+        P = sc.shape[1] // (Hkv * 2)  # page-major scale rows (see scale_cols)
         rf = rows.reshape(-1, Hkv, 2, D).astype(jnp.float32)
         absmax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
         scale = absmax / 127.0 + 1e-12  # [N, Hkv, 2, 1]
         q = jnp.clip(jnp.round(rf / scale), -127, 127).astype(jnp.int8)
         buf = buf.at[flat_loc].set(q.reshape(-1, Hkv * 2 * D), mode="drop")
-        sc = sc.at[flat_loc].set(
-            scale[..., 0].reshape(-1, Hkv * 2).astype(jnp.float32), mode="drop"
+        pid = flat_loc // P
+        cols = scale_cols(flat_loc % P, Hkv, P)  # [N, Hkv, 2]
+        sc = sc.at[pid[:, None, None], cols].set(
+            scale[..., 0].astype(jnp.float32), mode="drop"
         )
         return (buf, sc)
     return kv_l.at[flat_loc].set(
         rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop"
     )
+
+
+def scale_cols(t: jnp.ndarray, Hkv: int, P: int) -> jnp.ndarray:
+    """Column indices of the (head, k/v) scales for token offsets `t` within
+    their page, in the page-major scale pool [num_pages+1, Hkv*2*P].
+
+    Within a row, scales are head-major then k/v then token —
+    col(h, kv, t) = (2h + kv) * P + t — matching the KV pool's head-major
+    minor-dim layout so a tp shard of either pool owns whole heads. The
+    Pallas decode kernel DMAs one scale row per page and slices [1, P] per
+    (head, k/v); Mosaic requires lane slices in 128-lane multiples, so the
+    real-kernel int8-KV path needs page_size % 128 == 0 (interpret mode —
+    CPU tests — accepts any page size).
+    """
+    h = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]
+    kv = jnp.arange(2, dtype=jnp.int32)[None, None, :]
+    return (2 * h + kv) * P + t.astype(jnp.int32)[:, None, None]
 
 
 def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
@@ -137,9 +155,11 @@ def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
     B, T = rows.shape
     if isinstance(kv_l, tuple):
         buf, sc = kv_l
+        P = sc.shape[1] // (Hkv * 2)
         g = buf[rows].reshape(B, T, Hkv, 2, D).astype(jnp.float32)
-        s = sc[rows].reshape(B, T, Hkv, 2, 1)
-        g = g * s
+        cols = scale_cols((rows % P).reshape(-1), Hkv, P)  # [B*T, Hkv, 2]
+        s = sc[(rows // P).reshape(-1)[:, None, None], cols]
+        g = g * s.reshape(B, T, Hkv, 2, 1)
         return g[:, :, :, 0, :], g[:, :, :, 1, :]
     g = kv_l[rows].reshape(B, T, Hkv, 2, D)
     return g[:, :, :, 0, :], g[:, :, :, 1, :]

@@ -50,11 +50,11 @@ def _decode_kernel(
     #   tbl_ref    SMEM [B, pages_per_seq] i32 — page ids
     #   q_ref      VMEM [SB, Hq, D]
     #   kv_hbm     ANY  [(num_pages+1)*P, Hkv*2*D]
-    #   scale_hbm  ANY  [(num_pages+1)*P, Hkv*2] f32       (has_scale only;
-    #              row-per-token scales, col 2h+kv — same row ids as kv_hbm)
+    #   scale_hbm  ANY  [num_pages+1, Hkv*2*P] f32         (has_scale only;
+    #              page-major per-token scales, ops/attention.scale_cols)
     #   out_ref    VMEM [SB, Hq, D]
     #   bufs       VMEM [2, BP, P, Hkv*2*D] scratch
-    #   sbufs      VMEM [2, BP*P, Hkv*2] f32 scratch       (has_scale only)
+    #   sbufs      VMEM [2, BP, 1, Hkv*2*P] f32 scratch    (has_scale only)
     #   sems       DMA sems (2,)
     #   slot_ref   SMEM (1,) i32 — buffer parity carried across grid steps
     *refs,
@@ -107,8 +107,8 @@ def _decode_kernel(
             if has_scale:
                 copies.append(
                     pltpu.make_async_copy(
-                        scale_hbm.at[pl.ds(row0, P)],
-                        sbufs.at[slot, pl.ds(i * P, P)],
+                        scale_hbm.at[pl.ds(pid, 1)],
+                        sbufs.at[slot, i],
                         sems.at[slot],
                     )
                 )
@@ -176,52 +176,96 @@ def _decode_kernel(
                     c.wait()
 
                 kvb = bufs[slot]  # [BP, P, Hkv*2*D]
-                # [N, Hkv*2]: per-token scale rows, col 2h+kv. Lane slices of
-                # width 1 give [N, 1] columns that broadcast over the K/V
-                # tiles' lanes — no sublane<->lane reshape (Mosaic rejects a
-                # page-major [BP, P] -> [1, N] cast).
-                svb = sbufs[slot] if has_scale else None
-                pos = blk * N + jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-                valid = pos < kv_len  # [1, N]
 
-                m_new, l_new, acc_new = [], [], []
-                # Static loop over kv heads: Mosaic wants plain 2D matmuls.
-                # The minor-dim slice picks one head's K (or V) lanes; the
-                # reshape only merges the leading (page, token) dims.
-                for h in range(Hkv):
-                    k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
-                    v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
-                    if kvb.dtype == jnp.int8:
-                        k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
-                        v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
-                    else:
+                if not has_scale:
+                    pos = blk * N + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, N), 1
+                    )
+                    valid = pos < kv_len  # [1, N]
+                    m_new, l_new, acc_new = [], [], []
+                    # Static loop over kv heads: Mosaic wants plain 2D
+                    # matmuls. The minor-dim slice picks one head's K (or V)
+                    # lanes; the reshape only merges the leading (page,
+                    # token) dims.
+                    for h in range(Hkv):
+                        k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
+                        v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
+                        if kvb.dtype == jnp.int8:
+                            k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
+                            v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
+                        else:
+                            k_h = k_h.astype(jnp.float32)
+                            v_h = v_h.astype(jnp.float32)
+                        q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+
+                        sc = jax.lax.dot_general(
+                            q_h, k_h,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * sm_scale  # [G, N]
+                        sc = jnp.where(valid, sc, NEG_INF)
+
+                        m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
+                        p = jnp.exp(sc - m_h)
+                        alpha = jnp.exp(m[h] - m_h)
+                        l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+                        pv = jax.lax.dot_general(
+                            p, v_h,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [G, D]
+                        m_new.append(m_h)
+                        l_new.append(l_h)
+                        acc_new.append(alpha * acc[h] + pv)
+                    return tuple(m_new), tuple(l_new), tuple(acc_new)
+
+                # Per-token-scale path: the online-softmax update runs PER
+                # PAGE so every scale access is a lane-aligned [1, P] slice
+                # of the page's scale row — Mosaic rejects both the
+                # [BP, P] -> [1, N] page-major reshape and any lane slice
+                # narrower than the 128 tile (hence page_size % 128 == 0 on
+                # the compiled path; interpret mode takes any P).
+                svb = sbufs[slot][:, 0, :]  # [BP, Hkv*2*P]
+                m_c, l_c, acc_c = list(m), list(l), list(acc)
+                for i in range(BP):
+                    pos = (blk * BP + i) * P + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, P), 1
+                    )
+                    valid = pos < kv_len  # [1, P]
+                    for h in range(Hkv):
+                        k_h = kvb[i, :, 2 * h * D : (2 * h + 1) * D]  # [P, D]
+                        v_h = kvb[i, :, (2 * h + 1) * D : (2 * h + 2) * D]
                         k_h = k_h.astype(jnp.float32)
                         v_h = v_h.astype(jnp.float32)
-                    if has_scale:
-                        k_h = k_h * svb[:, 2 * h : 2 * h + 1]
-                        v_h = v_h * svb[:, 2 * h + 1 : 2 * h + 2]
-                    q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+                        ks = svb[i : i + 1, 2 * h * P : (2 * h + 1) * P]
+                        vs = svb[i : i + 1, (2 * h + 1) * P : (2 * h + 2) * P]
+                        q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
 
-                    sc = jax.lax.dot_general(
-                        q_h, k_h,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * sm_scale  # [G, N]
-                    sc = jnp.where(valid, sc, NEG_INF)
+                        sc = jax.lax.dot_general(
+                            q_h, k_h,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * sm_scale  # [G, P]
+                        # k dequant folded into the score columns ([1, P]
+                        # row broadcast), v dequant into the prob columns.
+                        sc = jnp.where(valid, sc * ks, NEG_INF)
 
-                    m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
-                    p = jnp.exp(sc - m_h)
-                    alpha = jnp.exp(m[h] - m_h)
-                    l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
-                    pv = jax.lax.dot_general(
-                        p, v_h,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # [G, D]
-                    m_new.append(m_h)
-                    l_new.append(l_h)
-                    acc_new.append(alpha * acc[h] + pv)
-                return tuple(m_new), tuple(l_new), tuple(acc_new)
+                        m_h = jnp.maximum(
+                            m_c[h], jnp.max(sc, axis=1, keepdims=True)
+                        )
+                        p = jnp.exp(sc - m_h)
+                        alpha = jnp.exp(m_c[h] - m_h)
+                        l_c[h] = alpha * l_c[h] + jnp.sum(
+                            p, axis=1, keepdims=True
+                        )
+                        pv = jax.lax.dot_general(
+                            p * vs, v_h,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # [G, D]
+                        m_c[h] = m_h
+                        acc_c[h] = alpha * acc_c[h] + pv
+                return tuple(m_c), tuple(l_c), tuple(acc_c)
 
             init = (
                 tuple(jnp.full((G, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),
@@ -251,7 +295,7 @@ def paged_decode_attention(
     sm_scale: Optional[float] = None,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
-    kv_scale: Optional[jnp.ndarray] = None,  # [(num_pages+1)*P, Hkv*2] f32 row/token
+    kv_scale: Optional[jnp.ndarray] = None,  # [num_pages+1, Hkv*2*P] f32 page-major
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, Hq, D = q.shape
@@ -291,11 +335,16 @@ def paged_decode_attention(
     ]
     operands = [kv_lens, page_tbl, q, kv_l]
     if has_scale:
-        assert kv_scale.shape == (kv_l.shape[0], num_kv_heads * 2), (
-            kv_scale.shape, kv_l.shape, num_kv_heads)
+        row_sw = num_kv_heads * 2 * page_size
+        assert kv_scale.shape == (kv_l.shape[0] // page_size, row_sw), (
+            kv_scale.shape, kv_l.shape, page_size)
+        assert interpret or page_size % 128 == 0, (
+            "per-token-scale int8 KV on the compiled kernel needs "
+            f"page_size % 128 == 0 (Mosaic lane-slice tiling); got {page_size}"
+        )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes.insert(
-            1, pltpu.VMEM((2, BP * page_size, num_kv_heads * 2), jnp.float32)
+            1, pltpu.VMEM((2, BP, 1, row_sw), jnp.float32)
         )
         operands.append(kv_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(

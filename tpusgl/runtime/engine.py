@@ -134,11 +134,9 @@ class Engine:
             attn_impl=attn_impl, sample_k_cap=sample_k_cap,
             paged_kernel=self._paged_kernel, mesh=self.mesh,
         )
-        state = init_state(self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed)
-        if self.mesh is not None:
-            from tpusgl.parallel.mesh import shard_state
-
-            state = shard_state(state, self.mesh)
+        state = init_state(
+            self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed, mesh=self.mesh
+        )
         self.scheduler = Scheduler(
             self.steps, state, self.model_cfg, self.cfg, tokenizer=self.tokenizer
         )

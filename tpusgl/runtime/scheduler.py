@@ -103,6 +103,16 @@ class Scheduler:
             engine_cfg.new_token_ratio_init - engine_cfg.new_token_ratio_min
         ) / engine_cfg.new_token_ratio_decay_steps
 
+        # Multi-host SPMD: every process must enqueue byte-identical programs
+        # each step. Schedule digests are cross-checked automatically when
+        # running multi-process (a divergent scheduler deadlocks the SPMD
+        # collectives, which is far harder to diagnose than this assert);
+        # check_multihost_schedule additionally forces it single-process.
+        import jax
+
+        self._multihost = jax.process_count() > 1
+        self.check_sched = engine_cfg.check_multihost_schedule or self._multihost
+
         self.metrics = {
             "prefill_steps": 0,
             "decode_steps": 0,
@@ -176,9 +186,30 @@ class Scheduler:
         overlap: Optional[bool] = None,
     ) -> List[List[int]]:
         """Run all requests to completion (reference run_batch /
-        run_batch_overlap, scheduler.py:99-169, 599-698)."""
+        run_batch_overlap, scheduler.py:99-169, 599-698).
+
+        Multi-process: host 0's request stream is broadcast over DCN so every
+        process's scheduler sees the same queue in the same order and the
+        SPMD step programs stay identical (SURVEY.md §7 M5). Non-zero hosts
+        call this with any (ignored) `requests` value, typically []."""
         if sampling is None:
             sampling = SamplingParams()
+        if self._multihost:
+            import dataclasses
+
+            import jax
+
+            from tpusgl.parallel.multihost import broadcast_from_host0
+
+            payload = None
+            if jax.process_index() == 0:
+                payload = {
+                    "reqs": [[int(t) for t in r] for r in requests],
+                    "sp": dataclasses.asdict(sampling),
+                }
+            payload = broadcast_from_host0(payload)
+            requests = payload["reqs"]
+            sampling = SamplingParams(**payload["sp"])
         order = [self.make_request(ids, sampling) for ids in requests]
         if not order:
             return []
@@ -531,6 +562,13 @@ class Scheduler:
             self.metrics["prefill_tokens"] += ext
             self.metrics["cached_tokens"] += cached
 
+        if self.check_sched:
+            from tpusgl.parallel.multihost import (
+                assert_same_schedule, schedule_digest,
+            )
+
+            assert_same_schedule(schedule_digest("prefill", req_idx, seq_len))
+
         simple = self._is_simple(batch)
         self.state, next_ids = self.steps.prefill(
             self.state, req_idx, ids_pad, seq_len, prefix_len, out_loc,
@@ -646,7 +684,7 @@ class Scheduler:
             max_len = max(max_len, req.seq_len)
             req.inflight_steps += 1
 
-        if self.cfg.check_multihost_schedule:
+        if self.check_sched:
             from tpusgl.parallel.multihost import (
                 assert_same_schedule, schedule_digest,
             )

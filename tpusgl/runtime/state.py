@@ -34,12 +34,13 @@ from tpusgl.ops.attention import make_kv_pool
 
 class EngineState(NamedTuple):
     kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
-    # Per-token scales when kv is int8: ROW PER TOKEN, column 2h+kv —
-    # mirroring the pool's row indexing, so the decode kernel DMAs a page's
-    # scale rows exactly like its KV rows and reads [N, 1] column vectors
-    # with no layout cast (a page-major [page, Hkv*2*P] layout needed a
-    # sublane->lane reshape Mosaic rejects).
-    kv_scale: Optional[tuple]  # L x [(num_pages+1)*P, Hkv*2] f32
+    # Page-major per-token scales when kv is int8: one row per page, columns
+    # (2h + kv)*P + t (ops/attention.scale_cols). The decode kernel DMAs one
+    # lane-aligned scale row per page and applies scales PER PAGE with
+    # [1, P] lane slices — Mosaic requires every lane slice be a multiple of
+    # the 128 tile, so the real-kernel path needs page_size % 128 == 0
+    # (narrower row-per-token layouts fail compile outright: measured).
+    kv_scale: Optional[tuple]  # L x [num_pages+1, Hkv*2*P] f32
     last_token: jnp.ndarray    # [max_requests+1] int32
     presence: jnp.ndarray      # [max_requests+1, vocab] bool
     rng: jax.Array
@@ -50,7 +51,12 @@ def init_state(
     engine_cfg: EngineConfig,
     kv_dtype: jnp.dtype = jnp.bfloat16,
     seed: int = 0,
+    mesh=None,
 ) -> EngineState:
+    """Allocate the engine state. With a mesh, every buffer is created
+    directly AT its NamedSharding inside one jitted program — no
+    single-device allocation + reshard copy of the multi-GB pool, and the
+    collective allocation also works across processes (multi-host)."""
     L = model_cfg.num_hidden_layers
     Hkv = model_cfg.num_key_value_heads
     D = model_cfg.head_dim
@@ -60,14 +66,24 @@ def init_state(
 
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
-    kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
-    return EngineState(
-        kv=kv,
-        kv_scale=tuple(
-            jnp.zeros((kv[0].shape[0], Hkv * 2), jnp.float32) for _ in range(L)
+
+    def alloc():
+        kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
+        return EngineState(
+            kv=kv,
+            kv_scale=tuple(
+                jnp.zeros((kv[0].shape[0] // P, Hkv * 2 * P), jnp.float32)
+                for _ in range(L)
+            )
+            if quant_kv else None,
+            last_token=jnp.zeros((R + 1,), jnp.int32),
+            presence=jnp.zeros((R + 1, model_cfg.vocab_size), jnp.bool_),
+            rng=jax.random.PRNGKey(seed),
         )
-        if quant_kv else None,
-        last_token=jnp.zeros((R + 1,), jnp.int32),
-        presence=jnp.zeros((R + 1, model_cfg.vocab_size), jnp.bool_),
-        rng=jax.random.PRNGKey(seed),
-    )
+
+    if mesh is None:
+        return alloc()
+    from tpusgl.parallel.mesh import state_shardings
+
+    shardings = state_shardings(mesh, jax.eval_shape(alloc))
+    return jax.jit(alloc, out_shardings=shardings)()
