@@ -108,9 +108,13 @@ def test_paged_decode_per_token_kv_scales():
     # Quantize the full pool through write_kv's per-token path.
     k_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 0, :][None]
     v_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 1, :][None]
+    from tpusgl.ops.attention import scale_rows_per_page
+
     pair = (
         jnp.zeros((rows_total, Hkv * 2 * D), jnp.int8),
-        jnp.zeros((rows_total // P, Hkv * 2 * P), jnp.float32),
+        jnp.zeros(
+            ((rows_total // P) * scale_rows_per_page(Hkv), P), jnp.float32
+        ),
     )
     pair = write_kv(
         k_all, v_all, pair, jnp.arange(rows_total, dtype=jnp.int32)[None, :]

@@ -108,14 +108,30 @@ def _np_quantize_int8(w: np.ndarray):
 
 def _np_quantize_int4(w: np.ndarray, group_size: int):
     """[in, out] fp32 -> (packed int8 [in//2, out], scales f32 [in//G, out]);
-    byte layout identical to ops/linear.quantize_linear_int4."""
+    byte layout and MSE clip-ratio search identical to
+    ops/linear.quantize_linear_int4."""
+    from tpusgl.ops.linear import INT4_CLIP_CANDIDATES
+
     in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
     g = in_dim // group_size
     wg = w.reshape(g, group_size, out_dim)
     absmax = np.abs(wg).max(axis=1, keepdims=True)
-    gs = (absmax / 7.0) + 1e-12
-    q = np.clip(np.round(wg / gs), -7, 7).astype(np.int32)
+
+    best_err = None
+    gs = q = None
+    for c in INT4_CLIP_CANDIDATES:
+        s = (absmax * (c / 7.0)) + 1e-12
+        qc = np.clip(np.round(wg / s), -7, 7)
+        err = ((qc * s - wg) ** 2).sum(axis=1, keepdims=True)
+        if best_err is None:
+            best_err, gs, q = err, s, qc
+        else:
+            better = err < best_err
+            best_err = np.where(better, err, best_err)
+            gs = np.where(better, s, gs)
+            q = np.where(better, qc, q)
+    q = q.astype(np.int32)
     half = group_size // 2
     packed = ((q[:, :half] & 0xF) | ((q[:, half:] & 0xF) << 4)).astype(np.uint8)
     return (

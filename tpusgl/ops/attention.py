@@ -106,24 +106,24 @@ def write_kv(
     row (memory_pool.py:82-84) — so no masking is needed.
 
     When `kv_l` is a (pool int8, scale f32) pair, K/V are quantized
-    symmetrically per (token, head, k/v) — scale row layout [Hkv*2] matches
-    the k/v-interleaved pool minor dim — replacing the reference's
-    NotImplementedError fp8 stubs (memory_pool.py:55-59, 139-147) with a
-    working INT8 KV path."""
+    symmetrically per (token, head, k/v). Scale pool layout: see
+    `scale_row` — 8-row-aligned per-page blocks, one [P]-lane row per
+    (head, k/v). Replaces the reference's NotImplementedError fp8 stubs
+    (memory_pool.py:55-59, 139-147) with a working INT8 KV path."""
     B, S, Hkv, D = k_new.shape
     flat_loc = out_loc.reshape(-1)
     rows = jnp.stack([k_new, v_new], axis=3)  # [B, S, Hkv, 2, D]
     if isinstance(kv_l, tuple):
         buf, sc = kv_l
-        P = sc.shape[1] // (Hkv * 2)  # page-major scale rows (see scale_cols)
+        P = sc.shape[1]
+        R8 = scale_rows_per_page(Hkv)
         rf = rows.reshape(-1, Hkv, 2, D).astype(jnp.float32)
         absmax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
         scale = absmax / 127.0 + 1e-12  # [N, Hkv, 2, 1]
         q = jnp.clip(jnp.round(rf / scale), -127, 127).astype(jnp.int8)
         buf = buf.at[flat_loc].set(q.reshape(-1, Hkv * 2 * D), mode="drop")
-        pid = flat_loc // P
-        cols = scale_cols(flat_loc % P, Hkv, P)  # [N, Hkv, 2]
-        sc = sc.at[pid[:, None, None], cols].set(
+        srow = scale_row(flat_loc // P, Hkv, R8)  # [N, Hkv, 2]
+        sc = sc.at[srow, (flat_loc % P)[:, None, None]].set(
             scale[..., 0].astype(jnp.float32), mode="drop"
         )
         return (buf, sc)
@@ -132,21 +132,29 @@ def write_kv(
     )
 
 
-def scale_cols(t: jnp.ndarray, Hkv: int, P: int) -> jnp.ndarray:
-    """Column indices of the (head, k/v) scales for token offsets `t` within
-    their page, in the page-major scale pool [num_pages+1, Hkv*2*P].
+def scale_rows_per_page(Hkv: int) -> int:
+    """Scale-pool rows per page: 2*Hkv (head, k/v) rows padded up to a
+    multiple of 8 so each page's block DMA is sublane-tile aligned."""
+    return -(-2 * Hkv // 8) * 8
 
-    Within a row, scales are head-major then k/v then token —
-    col(h, kv, t) = (2h + kv) * P + t — matching the KV pool's head-major
-    minor-dim layout so a tp shard of either pool owns whole heads. The
-    Pallas decode kernel DMAs one scale row per page and slices [1, P] per
-    (head, k/v); Mosaic requires lane slices in 128-lane multiples, so the
-    real-kernel int8-KV path needs page_size % 128 == 0 (interpret mode —
-    CPU tests — accepts any page size).
+
+def scale_row(pid: jnp.ndarray, Hkv: int, R8: int) -> jnp.ndarray:
+    """Row indices of the (head, k/v) scales for page ids `pid`, in the
+    scale pool [(num_pages+1) * R8, P].
+
+    Layout: page p owns rows [p*R8, (p+1)*R8); row p*R8 + 2h+kv holds head
+    h's k (or v) scales with the token offset as the lane index. The page
+    block is 8-row aligned (R8 % 8 == 0) and P lanes wide, which is what the
+    Pallas kernel's DMA needs (Mosaic requires sublane slices in 8-row
+    multiples and lane slices in 128-lane multiples — hence
+    page_size % 128 == 0 on the compiled int8-KV path; interpret mode — CPU
+    tests — accepts any page size). A tp shard owns whole heads' rows within
+    each page block (kernel and write path run on local shards under
+    shard_map, so only the local layout matters).
     """
     h = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]
     kv = jnp.arange(2, dtype=jnp.int32)[None, None, :]
-    return (2 * h + kv) * P + t.astype(jnp.int32)[:, None, None]
+    return pid.astype(jnp.int32)[:, None, None] * R8 + 2 * h + kv
 
 
 def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
@@ -155,10 +163,11 @@ def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
     B, T = rows.shape
     if isinstance(kv_l, tuple):
         buf, sc = kv_l
-        P = sc.shape[1] // (Hkv * 2)
+        P = sc.shape[1]
+        R8 = scale_rows_per_page(Hkv)
         g = buf[rows].reshape(B, T, Hkv, 2, D).astype(jnp.float32)
-        cols = scale_cols((rows % P).reshape(-1), Hkv, P)  # [B*T, Hkv, 2]
-        s = sc[(rows // P).reshape(-1)[:, None, None], cols]
+        srow = scale_row((rows // P).reshape(-1), Hkv, R8)  # [B*T, Hkv, 2]
+        s = sc[srow, (rows % P).reshape(-1)[:, None, None]]
         g = g * s.reshape(B, T, Hkv, 2, 1)
         return g[:, :, :, 0, :], g[:, :, :, 1, :]
     g = kv_l[rows].reshape(B, T, Hkv, 2, D)
@@ -293,16 +302,19 @@ def extend_attention(
 
     kv_l = write_kv(k_new, v_new, kv_l, meta.out_loc)
 
-    k_self = k_new.astype(jnp.float32)
-    v_self = v_new.astype(jnp.float32)
+    # Matmuls run in the activation dtype with f32 scores/accumulation
+    # (preferred_element_type): on TPU an explicit f32 cast here forced the
+    # MXU onto its ~4x slower f32 path for the whole prefill.
+    k_self = k_new
+    v_self = v_new
     j_idx = jnp.arange(S, dtype=jnp.int32)
     self_valid = j_idx[None, :] < meta.ext_lens[:, None]  # [B, S]
 
     has_prefix = meta.prefix_rows is not None
     if has_prefix:
         k_p, v_p = gather_kv(kv_l, meta.prefix_rows, Hkv, D)  # [B, Tp, Hkv, D]
-        k_p = k_p.astype(jnp.float32)
-        v_p = v_p.astype(jnp.float32)
+        k_p = k_p.astype(q.dtype)
+        v_p = v_p.astype(q.dtype)
         Tp = meta.prefix_rows.shape[1]
         t_idx = jnp.arange(Tp, dtype=jnp.int32)
         prefix_valid = t_idx[None, :] < meta.prefix_lens[:, None]  # [B, Tp]
@@ -331,9 +343,14 @@ def extend_attention(
         else:
             scores, mask, vals = sc_self, m_self, v_self
         probs = _masked_softmax(scores, mask[:, None, None, :, :])
-        return jnp.einsum("bkgct,btkd->bckgd", probs, vals)
+        # probs in the value dtype keeps the PV matmul on the fast MXU path
+        # (a f32 x bf16 dot promotes to f32 x f32).
+        return jnp.einsum(
+            "bkgct,btkd->bckgd", probs.astype(vals.dtype), vals,
+            preferred_element_type=jnp.float32,
+        )
 
-    qf = q.astype(jnp.float32).reshape(B, S, Hkv, G, D)
+    qf = q.reshape(B, S, Hkv, G, D)
     if S <= q_chunk:
         out = block(qf, 0)
     else:

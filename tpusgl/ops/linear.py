@@ -61,12 +61,22 @@ def quantize_linear_int8(lin: Linear) -> Linear:
     return out
 
 
+# Candidate clip ratios for the int4 MSE scale search (shared by the host
+# quantizer in loader/safetensors_loader.py — keep in sync).
+INT4_CLIP_CANDIDATES = (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7)
+
+
 def quantize_linear_int4(lin: Linear, group_size: int = 128) -> Linear:
     """Symmetric group-wise INT4 (values in [-7, 7]), packed two per byte.
 
     Groups run along the in-dimension; scale shape [..., in//G, out]. The
     packed weight halves HBM traffic vs int8 storage — the point of INT4
     for memory-bound decode (see module docstring for the byte layout).
+
+    The per-group scale is MSE-optimal over a small clip-ratio search
+    (absmax/7 * c, c in INT4_CLIP_CANDIDATES): clipping the group's
+    outliers trades their error for finer resolution on the bulk, which
+    measurably reduces the PPL delta vs plain absmax scaling.
     """
     w = lin["w"].astype(jnp.float32)
     *lead, in_dim, out_dim = w.shape
@@ -75,8 +85,22 @@ def quantize_linear_int4(lin: Linear, group_size: int = 128) -> Linear:
     g = in_dim // group_size
     wg = w.reshape(*lead, g, group_size, out_dim)
     absmax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
-    gs = (absmax / 7.0) + 1e-12
-    q = jnp.clip(jnp.round(wg / gs), -7, 7).astype(jnp.int32)
+
+    best_err = None
+    gs = None
+    q = None
+    for c in INT4_CLIP_CANDIDATES:
+        s = (absmax * (c / 7.0)) + 1e-12
+        qc = jnp.clip(jnp.round(wg / s), -7, 7)
+        err = jnp.sum((qc * s - wg) ** 2, axis=-2, keepdims=True)
+        if best_err is None:
+            best_err, gs, q = err, s, qc
+        else:
+            better = err < best_err
+            best_err = jnp.where(better, err, best_err)
+            gs = jnp.where(better, s, gs)
+            q = jnp.where(better, qc, q)
+    q = q.astype(jnp.int32)
     half = group_size // 2
     lo = q[..., :, :half, :] & 0xF
     hi = q[..., :, half:, :] & 0xF

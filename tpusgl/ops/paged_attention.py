@@ -50,11 +50,11 @@ def _decode_kernel(
     #   tbl_ref    SMEM [B, pages_per_seq] i32 — page ids
     #   q_ref      VMEM [SB, Hq, D]
     #   kv_hbm     ANY  [(num_pages+1)*P, Hkv*2*D]
-    #   scale_hbm  ANY  [num_pages+1, Hkv*2*P] f32         (has_scale only;
-    #              page-major per-token scales, ops/attention.scale_cols)
+    #   scale_hbm  ANY  [(num_pages+1)*R8, P] f32          (has_scale only;
+    #              8-row-aligned per-page blocks, ops/attention.scale_row)
     #   out_ref    VMEM [SB, Hq, D]
     #   bufs       VMEM [2, BP, P, Hkv*2*D] scratch
-    #   sbufs      VMEM [2, BP, 1, Hkv*2*P] f32 scratch    (has_scale only)
+    #   sbufs      VMEM [2, BP, R8, P] f32 scratch         (has_scale only)
     #   sems       DMA sems (2,)
     #   slot_ref   SMEM (1,) i32 — buffer parity carried across grid steps
     *refs,
@@ -105,9 +105,10 @@ def _decode_kernel(
                 )
             )
             if has_scale:
+                R8 = sbufs.shape[2]
                 copies.append(
                     pltpu.make_async_copy(
-                        scale_hbm.at[pl.ds(pid, 1)],
+                        scale_hbm.at[pl.ds(pl.multiple_of(pid * R8, 8), R8)],
                         sbufs.at[slot, i],
                         sems.at[slot],
                     )
@@ -175,9 +176,8 @@ def _decode_kernel(
                 for c in block_copies(b, blk, slot):
                     c.wait()
 
-                kvb = bufs[slot]  # [BP, P, Hkv*2*D]
-
                 if not has_scale:
+                    kvb = bufs[slot]  # [BP, P, Hkv*2*D]
                     pos = blk * N + jax.lax.broadcasted_iota(
                         jnp.int32, (1, N), 1
                     )
@@ -224,8 +224,11 @@ def _decode_kernel(
                 # of the page's scale row — Mosaic rejects both the
                 # [BP, P] -> [1, N] page-major reshape and any lane slice
                 # narrower than the 128 tile (hence page_size % 128 == 0 on
-                # the compiled path; interpret mode takes any P).
-                svb = sbufs[slot][:, 0, :]  # [BP, Hkv*2*P]
+                # the compiled path; interpret mode takes any P). Tiles and
+                # scale rows are loaded straight from the refs per (page,
+                # head): a value-level lane slice carries a lane-offset
+                # layout that Mosaic's broadcast rejects ("Invalid input
+                # layout" on [1,P] -> [G,P]); a ref load resolves the offset.
                 m_c, l_c, acc_c = list(m), list(l), list(acc)
                 for i in range(BP):
                     pos = (blk * BP + i) * P + jax.lax.broadcasted_iota(
@@ -233,12 +236,12 @@ def _decode_kernel(
                     )
                     valid = pos < kv_len  # [1, P]
                     for h in range(Hkv):
-                        k_h = kvb[i, :, 2 * h * D : (2 * h + 1) * D]  # [P, D]
-                        v_h = kvb[i, :, (2 * h + 1) * D : (2 * h + 2) * D]
-                        k_h = k_h.astype(jnp.float32)
+                        k_h = bufs[slot, i, :, 2 * h * D : (2 * h + 1) * D]
+                        v_h = bufs[slot, i, :, (2 * h + 1) * D : (2 * h + 2) * D]
+                        k_h = k_h.astype(jnp.float32)  # [P, D]
                         v_h = v_h.astype(jnp.float32)
-                        ks = svb[i : i + 1, 2 * h * P : (2 * h + 1) * P]
-                        vs = svb[i : i + 1, (2 * h + 1) * P : (2 * h + 2) * P]
+                        ks = sbufs[slot, i, 2 * h : 2 * h + 1, :]  # [1, P]
+                        vs = sbufs[slot, i, 2 * h + 1 : 2 * h + 2, :]
                         q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
 
                         sc = jax.lax.dot_general(
@@ -335,16 +338,18 @@ def paged_decode_attention(
     ]
     operands = [kv_lens, page_tbl, q, kv_l]
     if has_scale:
-        row_sw = num_kv_heads * 2 * page_size
-        assert kv_scale.shape == (kv_l.shape[0] // page_size, row_sw), (
+        from tpusgl.ops.attention import scale_rows_per_page
+
+        R8 = scale_rows_per_page(num_kv_heads)
+        assert kv_scale.shape == ((kv_l.shape[0] // page_size) * R8, page_size), (
             kv_scale.shape, kv_l.shape, page_size)
         assert interpret or page_size % 128 == 0, (
             "per-token-scale int8 KV on the compiled kernel needs "
-            f"page_size % 128 == 0 (Mosaic lane-slice tiling); got {page_size}"
+            f"page_size % 128 == 0 (Mosaic lane tiling); got {page_size}"
         )
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch_shapes.insert(
-            1, pltpu.VMEM((2, BP, 1, row_sw), jnp.float32)
+            1, pltpu.VMEM((2, BP, R8, page_size), jnp.float32)
         )
         operands.append(kv_scale)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -43,9 +43,13 @@ def _qmm_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # Dequantized weights go to the MXU in the ACTIVATION dtype: int8
+    # values are exact in bf16 (8 significand bits cover [-127, 127]), and
+    # bf16 x bf16 -> f32 runs the MXU at ~4x its f32 x f32 rate — measured
+    # to flip the 7B decode step from MXU-bound back to HBM-bound.
     acc_ref[...] += jax.lax.dot_general(
-        x_ref[...].astype(jnp.float32),
-        w_ref[...].astype(jnp.float32),
+        x_ref[...],
+        w_ref[...].astype(x_ref.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -68,9 +72,11 @@ def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int):
     wi = w_ref[...].astype(jnp.int32)
     lo = ((wi & 0xF) ^ 8) - 8
     hi = (((wi >> 4) & 0xF) ^ 8) - 8
-    wt = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    # Activation-dtype weights feed the MXU's fast path (int4 values are
+    # exact in bf16); accumulate in f32 (see _qmm_int8_kernel).
+    wt = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)
     part = jax.lax.dot_general(
-        x_ref[...].astype(jnp.float32),
+        x_ref[...],
         wt,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

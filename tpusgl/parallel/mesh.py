@@ -155,7 +155,9 @@ def state_shardings(mesh: Mesh, state) -> Any:
 
     kv = _ns(mesh, None, "tp")  # per-layer [slots, Hkv*2*D]: whole heads/shard
     L = len(state.kv)
-    scale = _ns(mesh, None, "tp")
+    # Scale pool [(pages+1)*R8_local*tp, P]: ROW-sharded — each shard's
+    # contiguous block is its own per-page scale pool (ops/attention.scale_row).
+    scale = _ns(mesh, "tp", None)
     return EngineState(
         kv=tuple(kv for _ in range(L)),
         kv_scale=None if state.kv_scale is None

@@ -34,13 +34,13 @@ from tpusgl.ops.attention import make_kv_pool
 
 class EngineState(NamedTuple):
     kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
-    # Page-major per-token scales when kv is int8: one row per page, columns
-    # (2h + kv)*P + t (ops/attention.scale_cols). The decode kernel DMAs one
-    # lane-aligned scale row per page and applies scales PER PAGE with
-    # [1, P] lane slices — Mosaic requires every lane slice be a multiple of
-    # the 128 tile, so the real-kernel path needs page_size % 128 == 0
-    # (narrower row-per-token layouts fail compile outright: measured).
-    kv_scale: Optional[tuple]  # L x [num_pages+1, Hkv*2*P] f32
+    # Per-token scales when kv is int8: 8-row-aligned per-page blocks, one
+    # [P]-lane row per (head, k/v) — ops/attention.scale_row. The decode
+    # kernel DMAs a page's [R8, P] block and reads [1, P] rows per head;
+    # Mosaic's tiling rules reject every narrower layout tried (row-per-
+    # token [*, Hkv*2], page-major [*, Hkv*2*P] with in-kernel reshape or
+    # sub-128 lane slices, single-row DMAs).
+    kv_scale: Optional[tuple]  # L x [(num_pages+1)*R8, P] f32
     last_token: jnp.ndarray    # [max_requests+1] int32
     presence: jnp.ndarray      # [max_requests+1, vocab] bool
     rng: jax.Array
@@ -67,12 +67,19 @@ def init_state(
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
 
+    from tpusgl.ops.attention import scale_rows_per_page
+
+    tp = 1 if mesh is None else int(mesh.shape["tp"])
+    # Per-shard-local scale geometry (the pool is only accessed on local
+    # shards inside shard_map); the global row count stacks tp local pools.
+    r8 = scale_rows_per_page(Hkv // tp) * tp
+
     def alloc():
         kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
         return EngineState(
             kv=kv,
             kv_scale=tuple(
-                jnp.zeros((kv[0].shape[0] // P, Hkv * 2 * P), jnp.float32)
+                jnp.zeros(((kv[0].shape[0] // P) * r8, P), jnp.float32)
                 for _ in range(L)
             )
             if quant_kv else None,

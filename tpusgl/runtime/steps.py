@@ -116,7 +116,18 @@ class StepFunctions:
             pspecs = jax.tree.map(
                 lambda ns: ns.spec, param_shardings(cfg, self.params, mesh)
             )
-            kv_spec = P(None, "tp")  # pool minor dim = whole kv heads/shard
+            # Pool minor dim = whole kv heads per shard; int8 per-token
+            # scale pool is ROW-sharded (stacked per-shard blocks,
+            # ops/attention.scale_row) — the zipped (pool, scale) pairs
+            # need per-leaf specs.
+            pool_spec = P(None, "tp")
+            if engine_cfg.quant.kv_dtype == "int8":
+                kv_spec = tuple(
+                    (pool_spec, P("tp", None))
+                    for _ in range(cfg.num_hidden_layers)
+                )
+            else:
+                kv_spec = pool_spec
             rep = P()
             return jax.jit(
                 jax.shard_map(
