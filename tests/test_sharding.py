@@ -189,3 +189,24 @@ def test_tp_quant_matmul_shard_map_unit():
     )(x, lin["w"], lin["s"])
     want = x @ dequantize_weight(lin, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_data_parallel_engine_token_identical(params, prompts):
+    """Real DP serving (replica engines over disjoint device groups): same
+    greedy tokens as a single engine, requests load-balanced across dp=2
+    replicas each tp=2."""
+    from tpusgl.parallel.dp_engine import DataParallelEngine
+
+    sp = SamplingParams(max_new_tokens=6, do_sample=False, eos_id=-1)
+    base = Engine(
+        model_cfg=CFG, engine_cfg=ECFG, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    expected = base.generate(prompts, sp)
+
+    dpe = DataParallelEngine(
+        dp=2, engine_cfg=ECFG.replace(tp=2), model_cfg=CFG, params=params,
+        dtype=jnp.float32, attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    got = dpe.generate(prompts, sp)
+    assert got == expected

@@ -164,7 +164,7 @@ def quant_matmul(
 
 def _pick_tile(dim: int, cap: int) -> Optional[int]:
     """Largest lane-aligned tile <= cap that divides dim."""
-    for c in (512, 384, 256, 128):
+    for c in (1024, 512, 384, 256, 128):
         if c <= cap and dim % c == 0:
             return c
     return None
@@ -204,13 +204,20 @@ def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     M = 1
     for d in lead:
         M *= d
-    bn = _pick_tile(N, 512)
+    # Wide output tiles keep the weight-block DMAs large (the decode-step
+    # gate_up matmul measured 52% of HBM peak at bn=512, near-peak at 1024).
+    bn = _pick_tile(N, 1024)
     gs = lin.get("gs")
     bk = K // gs.shape[0] if gs is not None else _pick_tile(K, 512)
     if bn is None or bk is None or K % bk:
         raise ValueError(f"unsupported quant_matmul shape {K}x{N}")
     xf = x.reshape(M, K)
-    bm = min(128, max(8, M))
+    # Large-M (prefill) tiles: the weight streams from HBM once per m-block
+    # (grid (m, n, k)), so small bm re-reads the whole weight matrix M/bm
+    # times — at [4096, 3584] x [3584, 37888] that re-streaming alone
+    # matched the MXU time (measured 50-60% MXU). bm=512 keeps the weight
+    # traffic 4x lower while x/w/acc tiles stay ~4 MB of VMEM.
+    bm = min(512, max(8, M))
     pad = (-M) % bm
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))

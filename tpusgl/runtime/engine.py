@@ -57,6 +57,7 @@ class Engine:
         attn_impl=None,
         sample_k_cap: int = 1024,
         paged_kernel: Optional[bool] = None,
+        devices=None,
     ):
         self.model_cfg = model_cfg or resolve_model_config(model_id)
         self.cfg = engine_cfg or EngineConfig.from_env()
@@ -96,12 +97,12 @@ class Engine:
         self._paged_kernel = paged_kernel
 
         self.mesh = None
-        if self.cfg.tp > 1 or self.cfg.dp > 1:
+        if self.cfg.tp > 1 or self.cfg.dp > 1 or devices is not None:
             from tpusgl.parallel.mesh import make_mesh
             from tpusgl.parallel.multihost import init_multihost
 
             init_multihost()  # no-op single-process
-            self.mesh = make_mesh(self.cfg.dp, self.cfg.tp)
+            self.mesh = make_mesh(self.cfg.dp, self.cfg.tp, devices=devices)
 
         if params is None:
             # Streaming paths: quantize per layer (host for checkpoints,
