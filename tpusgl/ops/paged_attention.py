@@ -219,56 +219,54 @@ def _decode_kernel(
                         acc_new.append(alpha * acc[h] + pv)
                     return tuple(m_new), tuple(l_new), tuple(acc_new)
 
-                # Per-token-scale path: the online-softmax update runs PER
-                # PAGE so every scale access is a lane-aligned [1, P] slice
-                # of the page's scale row — Mosaic rejects both the
-                # [BP, P] -> [1, N] page-major reshape and any lane slice
-                # narrower than the 128 tile (hence page_size % 128 == 0 on
-                # the compiled path; interpret mode takes any P). Tiles and
-                # scale rows are loaded straight from the refs per (page,
-                # head): a value-level lane slice carries a lane-offset
-                # layout that Mosaic's broadcast rejects ("Invalid input
-                # layout" on [1,P] -> [G,P]); a ref load resolves the offset.
-                m_c, l_c, acc_c = list(m), list(l), list(acc)
-                for i in range(BP):
-                    pos = (blk * BP + i) * P + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, P), 1
+                # Per-token-scale path: same full-block matmuls as above,
+                # with the k/v dequant folded into the SCORE / PROB columns.
+                # The block's [1, N] scale row per (head, k/v) is assembled
+                # by lane-concatenating the BP ref-loaded [1, P] page rows
+                # (P % 128 == 0 keeps every piece lane-tile aligned; Mosaic
+                # rejects the [BP, P] -> [1, N] reshape and offset-layout
+                # value slices, hence ref loads + aligned concat).
+                kvb = bufs[slot]  # [BP, P, Hkv*2*D]
+                pos = blk * N + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, N), 1
+                )
+                valid = pos < kv_len  # [1, N]
+                m_new, l_new, acc_new = [], [], []
+                for h in range(Hkv):
+                    k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
+                    v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
+                    k_h = k_h.astype(jnp.float32)
+                    v_h = v_h.astype(jnp.float32)
+                    ks = jnp.concatenate(
+                        [sbufs[slot, i, 2 * h : 2 * h + 1, :] for i in range(BP)],
+                        axis=1,
+                    )  # [1, N]
+                    vs = jnp.concatenate(
+                        [sbufs[slot, i, 2 * h + 1 : 2 * h + 2, :] for i in range(BP)],
+                        axis=1,
                     )
-                    valid = pos < kv_len  # [1, P]
-                    for h in range(Hkv):
-                        k_h = bufs[slot, i, :, 2 * h * D : (2 * h + 1) * D]
-                        v_h = bufs[slot, i, :, (2 * h + 1) * D : (2 * h + 2) * D]
-                        k_h = k_h.astype(jnp.float32)  # [P, D]
-                        v_h = v_h.astype(jnp.float32)
-                        ks = sbufs[slot, i, 2 * h : 2 * h + 1, :]  # [1, P]
-                        vs = sbufs[slot, i, 2 * h + 1 : 2 * h + 2, :]
-                        q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+                    q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
 
-                        sc = jax.lax.dot_general(
-                            q_h, k_h,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ) * sm_scale  # [G, P]
-                        # k dequant folded into the score columns ([1, P]
-                        # row broadcast), v dequant into the prob columns.
-                        sc = jnp.where(valid, sc * ks, NEG_INF)
+                    sc = jax.lax.dot_general(
+                        q_h, k_h,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * sm_scale  # [G, N]
+                    sc = jnp.where(valid, sc * ks, NEG_INF)
 
-                        m_h = jnp.maximum(
-                            m_c[h], jnp.max(sc, axis=1, keepdims=True)
-                        )
-                        p = jnp.exp(sc - m_h)
-                        alpha = jnp.exp(m_c[h] - m_h)
-                        l_c[h] = alpha * l_c[h] + jnp.sum(
-                            p, axis=1, keepdims=True
-                        )
-                        pv = jax.lax.dot_general(
-                            p * vs, v_h,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # [G, D]
-                        m_c[h] = m_h
-                        acc_c[h] = alpha * acc_c[h] + pv
-                return tuple(m_c), tuple(l_c), tuple(acc_c)
+                    m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
+                    p = jnp.exp(sc - m_h)
+                    alpha = jnp.exp(m[h] - m_h)
+                    l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+                    pv = jax.lax.dot_general(
+                        p * vs, v_h,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [G, D]
+                    m_new.append(m_h)
+                    l_new.append(l_h)
+                    acc_new.append(alpha * acc[h] + pv)
+                return tuple(m_new), tuple(l_new), tuple(acc_new)
 
             init = (
                 tuple(jnp.full((G, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),

@@ -163,11 +163,12 @@ def quant_matmul(
 
 
 def _pick_tile(dim: int, cap: int) -> Optional[int]:
-    """Largest lane-aligned tile <= cap that divides dim."""
-    for c in (1024, 512, 384, 256, 128):
-        if c <= cap and dim % c == 0:
-            return c
-    return None
+    """Largest 128-lane-multiple tile <= cap that divides dim."""
+    best = None
+    for c in range(128, cap + 1, 128):
+        if dim % c == 0:
+            best = c
+    return best
 
 
 @functools.lru_cache(maxsize=None)
@@ -205,8 +206,12 @@ def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     for d in lead:
         M *= d
     # Wide output tiles keep the weight-block DMAs large (the decode-step
-    # gate_up matmul measured 52% of HBM peak at bn=512, near-peak at 1024).
-    bn = _pick_tile(N, 1024)
+    # gate_up matmul measured 52% of HBM peak at bn=512). Decode (small M)
+    # can afford very wide tiles — the f32 accumulator is only M rows — so
+    # it takes the whole output dim when it divides into <= 4736 lanes
+    # (w block 512 x 4736 int8 = 2.4 MB x 2 buffers, well inside ~16 MB
+    # VMEM); prefill (large M) caps at 1024 to bound the accumulator.
+    bn = _pick_tile(N, 1024 if M > 256 else 4736)
     gs = lin.get("gs")
     bk = K // gs.shape[0] if gs is not None else _pick_tile(K, 512)
     if bn is None or bk is None or K % bk:
