@@ -183,6 +183,8 @@ def main() -> None:
                 "decode_batch_fill": round(
                     sum(dbs) / max(1, len(dbs)) / max_requests, 3
                 ) if dbs else None,
+                "prefill_wait_s": round(m["prefill_wait_s"], 2),
+                "decode_wait_s": round(m["decode_wait_s"], 2),
                 "weight_stream_gb": round(weight_stream / 1e9, 3),
                 "kv_bytes_per_token": kv_tok_bytes,
                 "model_hbm_gb_moved": round(

@@ -22,8 +22,15 @@ def parse_args():
     p.add_argument("--top-k", type=int, default=20)
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--weight-dtype", default="bf16", choices=["bf16", "int8", "int4"])
+    p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--enable-overlap", action="store_true")
     p.add_argument("--json-schema", default=None, help="path to a JSON schema file")
+    p.add_argument("--device", default=None, choices=["tpu", "cpu"],
+                   help="force a jax backend (reference run.py:24)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards (shard_map over the mesh)")
+    p.add_argument("--stream", action="store_true",
+                   help="print tokens as they are committed (generate_stream)")
     return p.parse_args()
 
 
@@ -34,16 +41,26 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    if args.device == "cpu":
+        # The TPU tunnel plugin forces its own jax_platforms; the config
+        # update (not the env var) is what selects the backend.
+        jax.config.update("jax_platforms", "cpu")
 
     from tpusgl.config import EngineConfig, QuantConfig
     from tpusgl.runtime.engine import Engine
     from tpusgl.runtime.sampling_params import SamplingParams
 
+    overrides = {}
+    if args.kv_dtype == "int8":
+        overrides.update(page_size=128, pages_per_block=4)
     engine = Engine(
         args.model_id,
         engine_cfg=EngineConfig.from_env(
-            quant=QuantConfig(weight_dtype=args.weight_dtype),
+            quant=QuantConfig(weight_dtype=args.weight_dtype,
+                              kv_dtype=args.kv_dtype),
             enable_overlap=args.enable_overlap,
+            tp=args.tp,
+            **overrides,
         ),
     )
 
@@ -78,10 +95,23 @@ def main():
         request = [b % engine.model_cfg.vocab_size for b in args.prompt.encode()]
 
     t0 = time.perf_counter()
-    out = engine.generate([request], sp, enable_overlap=args.enable_overlap)[0]
-    dt = time.perf_counter() - t0
-    print(out)
-    n = len(out) if isinstance(out, list) else len(out.split())
+    if args.stream:
+        n = 0
+        for _, new_ids, finished in engine.generate_stream(
+            [request], sp, enable_overlap=args.enable_overlap
+        ):
+            n += len(new_ids)
+            if engine.tokenizer is not None:
+                print(engine.tokenizer.decode(new_ids), end="", flush=True)
+            else:
+                print(*new_ids, end=" ", flush=True)
+        print()
+        dt = time.perf_counter() - t0
+    else:
+        out = engine.generate([request], sp, enable_overlap=args.enable_overlap)[0]
+        dt = time.perf_counter() - t0
+        print(out)
+        n = len(out) if isinstance(out, list) else len(out.split())
     print(f"latency={dt:.2f}s ({n} units)")
 
 

@@ -350,6 +350,12 @@ def paged_decode_attention(
             1, pltpu.VMEM((2, BP, R8, page_size), jnp.float32)
         )
         operands.append(kv_scale)
+    # NOTE on operand staging: this XLA toolchain stages every pallas
+    # operand into an S(1) HBM copy per call (weights once per program,
+    # the scatter-updated KV pool once per iteration — visible as async
+    # slice + ConcatBitcast ops in profiles). Passing the pool through as
+    # an aliased output was tried and made it WORSE (extra copy-backs);
+    # the staging is part of the custom-call calling convention here.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // SB,),
@@ -393,7 +399,10 @@ def _jitted_paged_decode(has_scale: bool, statics: tuple):
     else:
         def call(q, kv_l, kv_lens, page_tbl):
             return paged_decode_attention(q, kv_l, kv_lens, page_tbl, **kw)
-    return jax.jit(call)
+    # inline=True — see ops/quant_matmul._jitted_qmm: a call boundary
+    # made XLA copy the evolving KV pool into the callee's argument
+    # slot every layer (the whole pool re-written each iteration).
+    return jax.jit(call, inline=True)
 
 
 def pallas_attention(

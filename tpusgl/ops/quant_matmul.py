@@ -191,7 +191,11 @@ def _jitted_qmm(kind: str, out_dtype: str, bm: int, bn: int, bk: int,
                 x, w, gs=gs, out_dtype=dt, bm=bm, bn=bn, bk=bk,
                 interpret=interpret,
             )
-    return jax.jit(call)
+    # inline=True: the cached trace is reused across the layer stack's
+    # call sites, but the jaxpr is spliced into the caller — a real call
+    # boundary made XLA copy each site's weight operand into the shared
+    # callee's argument slot (measured ~1.9 GB/iter of pure copies).
+    return jax.jit(call, inline=True)
 
 
 def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):

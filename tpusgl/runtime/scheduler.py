@@ -130,6 +130,10 @@ class Scheduler:
             # decode_tokens per submission over time (tail-efficiency
             # diagnostic: how much of the padded batch is real work).
             "decode_batch_sizes": [],
+            # Host-blocked time at commit per mode: under the 1-deep overlap
+            # pipeline this is (approximately) device time per phase.
+            "prefill_wait_s": 0.0,
+            "decode_wait_s": 0.0,
         }
 
     # ------------------------------------------------------------------ API
@@ -149,6 +153,7 @@ class Scheduler:
             prefill_steps=0, decode_steps=0, decode_tokens=0,
             prefill_tokens=0, cached_tokens=0, retractions=0,
             decode_iters=0, decode_kv_token_reads=0,
+            prefill_wait_s=0.0, decode_wait_s=0.0,
         )
 
     def make_request(
@@ -786,7 +791,9 @@ class Scheduler:
         _process_results_overlap (scheduler.py:700-761), generalized to
         decode windows."""
         if sub.mode == "prefill":
+            t0 = time.perf_counter()
             ids_arr = np.asarray(sub.next_ids_dev)  # [Bb]; D2H sync point
+            self.metrics["prefill_wait_s"] += time.perf_counter() - t0
             for i, req in enumerate(sub.requests):
                 next_id = int(ids_arr[i])
                 if req.epoch != sub.epochs[i]:
@@ -812,7 +819,9 @@ class Scheduler:
             return
 
         # decode: next_ids is [K, B]
+        t0 = time.perf_counter()
         next_ids = np.asarray(sub.next_ids_dev)  # D2H sync point
+        self.metrics["decode_wait_s"] += time.perf_counter() - t0
         K = sub.window
         for i, req in enumerate(sub.requests):
             if req.epoch != sub.epochs[i]:

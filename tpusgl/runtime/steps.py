@@ -100,11 +100,17 @@ class StepFunctions:
         tp = 1 if mesh is None else int(mesh.shape["tp"])
 
         def make_fwd(attn):
+            # inline=True everywhere below: the wrapper exists to cache ONE
+            # trace of the L-layer stack across the window's call sites; a
+            # real call boundary made XLA copy the evolving KV pool into the
+            # callee's argument slots every call (the whole pool re-copied
+            # per iteration — measured as async slice ops in the profile).
             if tp == 1:
                 return jax.jit(
                     lambda params, ids, meta, kv: model.forward(
                         params, cfg, ids, meta, kv, attn_impl=attn
-                    )
+                    ),
+                    inline=True,
                 )
             from jax.sharding import PartitionSpec as P
 
@@ -139,7 +145,8 @@ class StepFunctions:
                     in_specs=(pspecs, rep, rep, kv_spec),
                     out_specs=(rep, kv_spec),
                     check_vma=False,
-                )
+                ),
+                inline=True,
             )
 
         self._fwd = make_fwd(attn_impl)
