@@ -210,3 +210,72 @@ def test_data_parallel_engine_token_identical(params, prompts):
     )
     got = dpe.generate(prompts, sp)
     assert got == expected
+
+
+def test_72b_int4_tp8_program_lowers():
+    """SURVEY.md M5 geometry check: the Qwen2.5-72B INT4 decode program at
+    tp=8 traces and lowers with abstract weights on an 8-device mesh — the
+    full production stack (shard_map TP, int8 KV, paged kernel page tables)
+    at flagship scale, no memory needed (AOT on avatars)."""
+    from tpusgl.config import EngineConfig, QuantConfig, resolve_model_config
+    from tpusgl.loader.safetensors_loader import layer_struct
+    from tpusgl.ops.sampling import SamplingArrays
+    from tpusgl.runtime.state import EngineState
+    from tpusgl.runtime.steps import StepFunctions
+    from tpusgl.ops.attention import make_kv_pool, scale_rows_per_page
+
+    cfg = resolve_model_config("qwen2.5-72b")
+    quant = QuantConfig(weight_dtype="int4", kv_dtype="int8")
+    R, ctx, P = 64, 2048, 128
+    ecfg = EngineConfig(
+        max_requests=R, max_total_tokens=R * ctx, page_size=P,
+        pages_per_block=4, tp=8, dp=1, quant=quant,
+        decode_bs_buckets=(R,), prefill_len_buckets=(1024,),
+        decode_window=2,
+    )
+    mesh = make_mesh(dp=1, tp=8)
+
+    def sds(shape, dt):
+        return jax.ShapeDtypeStruct(shape, jnp.dtype(dt))
+
+    H = cfg.hidden_size
+    # tp-aware storage layout: 72B's down projection falls back to int8
+    # (29568 = 231 int4 groups cannot row-shard over tp=8).
+    layer_av = layer_struct(cfg, quant, jnp.bfloat16, tp=8)
+    assert "w4" in layer_av["gate_up"] and "w" in layer_av["down"]
+    params_av = {
+        "embed": sds((cfg.vocab_size, H), jnp.bfloat16),
+        "final_norm": sds((H,), jnp.bfloat16),
+        "lm_head": sds((cfg.vocab_size, H), jnp.bfloat16),
+        "rope_cos": sds((cfg.max_position_embeddings, cfg.head_dim // 2), jnp.float32),
+        "rope_sin": sds((cfg.max_position_embeddings, cfg.head_dim // 2), jnp.float32),
+        "layers": tuple(layer_av for _ in range(cfg.num_hidden_layers)),
+    }
+    slots = ecfg.max_total_tokens
+    Hkv, D, L = cfg.num_key_value_heads, cfg.head_dim, cfg.num_hidden_layers
+    rows = slots + P
+    r8 = scale_rows_per_page(Hkv)
+    state_av = EngineState(
+        kv=tuple(sds((rows, Hkv * 2 * D), jnp.int8) for _ in range(L)),
+        kv_scale=tuple(sds(((rows // P) * r8, P), jnp.float32) for _ in range(L)),
+        last_token=sds((R + 1,), jnp.int32),
+        presence=sds((R + 1, cfg.vocab_size), jnp.bool_),
+        rng=jax.eval_shape(lambda: jax.random.PRNGKey(0)),
+    )
+    steps = StepFunctions(params_av, cfg, ecfg, mesh=mesh, paged_kernel=False)
+    fn = steps.get_decode_jit(R, ctx, ecfg.decode_window, False, True)
+
+    def i32(*shape):
+        return jax.ShapeDtypeStruct(shape, jnp.int32)
+
+    lowered = fn.lower(
+        params_av, state_av, i32(R), i32(R), i32(R, ecfg.decode_window),
+        i32(R, ecfg.pages_per_seq),
+        jax.eval_shape(lambda: SamplingArrays.full(R)), None,
+    )
+    hlo = lowered.as_text()
+    assert "mhlo.num_partitions = 8" in hlo
+    # Full partitioner + backend compile on the 8 virtual CPU devices:
+    # proves the flagship geometry's collectives, layouts, and shardings
+    # are all consistent, without 8 real chips or any weight memory.
+    lowered.compile()

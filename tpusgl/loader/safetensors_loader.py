@@ -146,11 +146,21 @@ def _np_cast(a: np.ndarray, dtype) -> np.ndarray:
     return np.ascontiguousarray(a.astype(np.dtype(dtype)))
 
 
+def int4_compatible(in_dim: int, group_size: int, tp: int) -> bool:
+    """INT4 group quantization needs every tp shard of the in-axis to hold
+    whole groups (a row-sharded `gs` must split evenly). E.g. Qwen2.5-72B's
+    intermediate 29568 = 231 groups of 128 cannot row-shard over tp=8 — the
+    down projection falls back to INT8 per-channel (mixed precision)."""
+    return in_dim % (group_size * tp) == 0
+
+
 def _quantize_linear_np(
     w: np.ndarray, quant: Optional[QuantConfig], dtype,
-    b: Optional[np.ndarray] = None,
+    b: Optional[np.ndarray] = None, tp: int = 1,
 ) -> Dict[str, np.ndarray]:
     wd = quant.weight_dtype if quant is not None else "bf16"
+    if wd == "int4" and not int4_compatible(w.shape[0], quant.group_size, tp):
+        wd = "int8"
     if wd == "int8":
         q, s = _np_quantize_int8(w)
         out = {"w": q, "s": s}
@@ -170,19 +180,23 @@ def _quantize_linear_np(
 
 
 def layer_struct(
-    cfg: ModelConfig, quant: Optional[QuantConfig], dtype
+    cfg: ModelConfig, quant: Optional[QuantConfig], dtype, tp: int = 1
 ) -> Dict[str, Any]:
     """ShapeDtypeStruct tree for ONE layer's params, in the final (possibly
-    quantized) storage layout."""
+    quantized) storage layout (int4 linears whose in-axis cannot row-shard
+    into whole groups over tp store int8 — see int4_compatible)."""
     H, I = cfg.hidden_size, cfg.intermediate_size
     qkv_out = cfg.q_size + 2 * cfg.kv_size
-    wd = quant.weight_dtype if quant is not None else "bf16"
+    base_wd = quant.weight_dtype if quant is not None else "bf16"
     G = quant.group_size if quant is not None else 128
 
     def sds(shape, dt):
         return jax.ShapeDtypeStruct(shape, jnp.dtype(dt))
 
     def lin(in_dim, out_dim, bias=False):
+        wd = base_wd
+        if wd == "int4" and not int4_compatible(in_dim, G, tp):
+            wd = "int8"
         if wd == "int8":
             d = {"w": sds((in_dim, out_dim), jnp.int8),
                  "s": sds((out_dim,), jnp.float32)}
@@ -223,7 +237,7 @@ class LayerStreamer:
             from tpusgl.parallel.mesh import layer_shardings
 
             self.layer_shardings = layer_shardings(
-                layer_struct(cfg, quant, dtype), mesh
+                layer_struct(cfg, quant, dtype, tp=self.tp), mesh
             )
         self.bufs: list = []
 
@@ -244,7 +258,7 @@ class LayerStreamer:
 
 def _read_layer_np(
     reader: _ShardIndex, cfg: ModelConfig, l: int,
-    quant: Optional[QuantConfig], dtype,
+    quant: Optional[QuantConfig], dtype, tp: int = 1,
 ) -> Dict[str, Any]:
     """Read + fuse + host-quantize ONE layer. HF name mapping mirrors
     model_loader.py:123-264: q/k/v fuse into qkv slices [0:q), [q:q+kv),
@@ -273,15 +287,15 @@ def _read_layer_np(
         "post_norm": _np_cast(
             reader.get(p + "post_attention_layernorm.weight"), dtype
         ),
-        "qkv": _quantize_linear_np(qkv_w, quant, dtype, b=qkv_b),
+        "qkv": _quantize_linear_np(qkv_w, quant, dtype, b=qkv_b, tp=tp),
         "o": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "self_attn.o_proj.weight").T),
-            quant, dtype,
+            quant, dtype, tp=tp,
         ),
-        "gate_up": _quantize_linear_np(gate_up, quant, dtype),
+        "gate_up": _quantize_linear_np(gate_up, quant, dtype, tp=tp),
         "down": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "mlp.down_proj.weight").T),
-            quant, dtype,
+            quant, dtype, tp=tp,
         ),
     }
 
@@ -301,7 +315,9 @@ def load_params(
     reader = _ShardIndex(ckpt_dir)
     streamer = LayerStreamer(cfg, quant, dtype, mesh=mesh)
     for l in range(cfg.num_hidden_layers):
-        streamer.set_layer(l, _read_layer_np(reader, cfg, l, quant, dtype))
+        streamer.set_layer(
+            l, _read_layer_np(reader, cfg, l, quant, dtype, tp=streamer.tp)
+        )
     logger.info(
         "streamed %d layers from %s (%s weights)",
         cfg.num_hidden_layers, ckpt_dir,
@@ -366,9 +382,14 @@ def init_params_streamed(
                 / math.sqrt(in_dim)
             ).astype(dtype)
             d = {"w": w}
-            if wd == "int8":
+            lwd = wd
+            if lwd == "int4" and not int4_compatible(
+                in_dim, quant.group_size, streamer.tp
+            ):
+                lwd = "int8"
+            if lwd == "int8":
                 d = quantize_linear_int8(d)
-            elif wd == "int4":
+            elif lwd == "int4":
                 d = quantize_linear_int4(d, quant.group_size)
             if bias:
                 d["b"] = jnp.zeros((out_dim,), dtype)
@@ -426,20 +447,26 @@ def init_params_streamed(
     return params
 
 
-def quantize_params(params: Dict[str, Any], quant: QuantConfig) -> Dict[str, Any]:
+def quantize_params(
+    params: Dict[str, Any], quant: QuantConfig, tp: int = 1
+) -> Dict[str, Any]:
     """Quantize the matmul weights (embed / norms / lm_head stay fp — the
-    LM head dominates PPL sensitivity and embed gather is bandwidth-trivial)."""
+    LM head dominates PPL sensitivity and embed gather is bandwidth-trivial).
+    int4 linears incompatible with (group, tp) sharding store int8."""
     out = dict(params)
-    qfn = jax.jit(
-        quantize_linear_int8
-        if quant.weight_dtype == "int8"
-        else lambda lin: quantize_linear_int4(lin, quant.group_size)
-    )
+    q8 = jax.jit(quantize_linear_int8)
+    q4 = jax.jit(lambda lin: quantize_linear_int4(lin, quant.group_size))
     new_layers = []
     for layer in params["layers"]:
         layer = dict(layer)
         for name in ("qkv", "o", "gate_up", "down"):
-            layer[name] = qfn(layer[name])
+            lin = layer[name]
+            wd = quant.weight_dtype
+            if wd == "int4" and not int4_compatible(
+                lin["w"].shape[0], quant.group_size, tp
+            ):
+                wd = "int8"
+            layer[name] = q4(lin) if wd == "int4" else q8(lin)
         new_layers.append(layer)
     out["layers"] = tuple(new_layers)
     return out
