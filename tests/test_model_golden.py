@@ -266,3 +266,57 @@ def test_llama_logits_match_hf(tmp_path):
     hidden, _, _ = _dense_forward(params, cfg, ids)
     ours_last = np.asarray(impl.lm_head_logits(params, cfg, hidden))
     np.testing.assert_allclose(ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_logits_match_hf(tmp_path):
+    """Qwen3 support: per-head q/k RMSNorm before RoPE, explicit head_dim
+    (!= hidden/heads), no qkv bias. Loads a tiny HF Qwen3ForCausalLM through
+    the streaming loader and matches logits."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    from tpusgl.config import ModelConfig
+    from tpusgl.models import get_model
+
+    cfg = ModelConfig(
+        hidden_size=64, num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, num_hidden_layers=2, vocab_size=256,
+        max_position_embeddings=128, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+        architecture="qwen3", head_dim_override=32, qk_norm=True,
+    )
+    assert cfg.head_dim == 32 and cfg.q_size == 128  # override exercised
+    hf_cfg = Qwen3Config(
+        hidden_size=cfg.hidden_size,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        vocab_size=cfg.vocab_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        head_dim=32,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    model = Qwen3ForCausalLM(hf_cfg).eval().float()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    parsed = ModelConfig.from_json(str(tmp_path / "config.json"))
+    assert parsed.architecture == "qwen3"
+    assert parsed.qk_norm and parsed.head_dim == 32
+
+    params = load_params(str(tmp_path), cfg, dtype=jnp.float32)
+    assert "q_norm" in params["layers"][0]
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 12))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+    impl = get_model(cfg.architecture)
+    hidden, _, _ = _dense_forward(params, cfg, ids)
+    ours_last = np.asarray(impl.lm_head_logits(params, cfg, hidden))
+    np.testing.assert_allclose(ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4)

@@ -39,9 +39,15 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = True  # Qwen2 uses bias on QKV only
     architecture: str = "qwen2"
+    # Qwen3: explicit head_dim (may differ from hidden/heads) and per-head
+    # RMSNorm on q/k before RoPE.
+    head_dim_override: Optional[int] = None
+    qk_norm: bool = False
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @property
@@ -63,8 +69,11 @@ class ModelConfig:
         arch_key = {
             "Qwen2ForCausalLM": "qwen2",
             "LlamaForCausalLM": "llama",
+            "Qwen3ForCausalLM": "qwen3",
         }.get(arch, "qwen2")
         return cls(
+            head_dim_override=cfg.get("head_dim"),
+            qk_norm=arch_key == "qwen3",
             hidden_size=cfg["hidden_size"],
             num_attention_heads=cfg["num_attention_heads"],
             num_key_value_heads=cfg.get(
@@ -125,6 +134,19 @@ QWEN2_5_PRESETS: Dict[str, ModelConfig] = {
         hidden_size=8192, num_attention_heads=64, num_key_value_heads=8,
         intermediate_size=29568, num_hidden_layers=80, vocab_size=152064,
         rms_norm_eps=1e-5,
+    ),
+    # Qwen3 (per-head q/k RMSNorm, explicit head_dim, no qkv bias).
+    "qwen3-0.6b": ModelConfig(
+        hidden_size=1024, num_attention_heads=16, num_key_value_heads=8,
+        intermediate_size=3072, num_hidden_layers=28, vocab_size=151936,
+        tie_word_embeddings=True, attention_bias=False,
+        head_dim_override=128, qk_norm=True, architecture="qwen3",
+    ),
+    "qwen3-8b": ModelConfig(
+        hidden_size=4096, num_attention_heads=32, num_key_value_heads=8,
+        intermediate_size=12288, num_hidden_layers=36, vocab_size=151936,
+        attention_bias=False, head_dim_override=128, qk_norm=True,
+        architecture="qwen3",
     ),
     # Tiny configs for tests.
     "tiny": ModelConfig(

@@ -209,7 +209,7 @@ def layer_struct(
             d["b"] = sds((out_dim,), dtype)
         return d
 
-    return {
+    layer = {
         "input_norm": sds((H,), dtype),
         "post_norm": sds((H,), dtype),
         "qkv": lin(H, qkv_out, bias=cfg.attention_bias),
@@ -217,6 +217,10 @@ def layer_struct(
         "gate_up": lin(H, 2 * I),
         "down": lin(I, H),
     }
+    if cfg.qk_norm:
+        layer["q_norm"] = sds((cfg.head_dim,), dtype)
+        layer["k_norm"] = sds((cfg.head_dim,), dtype)
+    return layer
 
 
 class LayerStreamer:
@@ -282,7 +286,7 @@ def _read_layer_np(
     gate_up[:, :I] = reader.get(p + "mlp.gate_proj.weight").T
     gate_up[:, I:] = reader.get(p + "mlp.up_proj.weight").T
 
-    return {
+    layer = {
         "input_norm": _np_cast(reader.get(p + "input_layernorm.weight"), dtype),
         "post_norm": _np_cast(
             reader.get(p + "post_attention_layernorm.weight"), dtype
@@ -298,6 +302,10 @@ def _read_layer_np(
             quant, dtype, tp=tp,
         ),
     }
+    if cfg.qk_norm:
+        layer["q_norm"] = _np_cast(reader.get(p + "self_attn.q_norm.weight"), dtype)
+        layer["k_norm"] = _np_cast(reader.get(p + "self_attn.k_norm.weight"), dtype)
+    return layer
 
 
 def load_params(
@@ -507,6 +515,9 @@ def save_params_hf_layout(
             put(p + "self_attn.q_proj.bias", b[:q])
             put(p + "self_attn.k_proj.bias", b[q : q + kv])
             put(p + "self_attn.v_proj.bias", b[q + kv :])
+        if "q_norm" in layer:
+            put(p + "self_attn.q_norm.weight", layer["q_norm"])
+            put(p + "self_attn.k_norm.weight", layer["k_norm"])
         put(p + "self_attn.o_proj.weight", np.asarray(layer["o"]["w"]).T)
         gu = np.asarray(layer["gate_up"]["w"], np.float32)
         put(p + "mlp.gate_proj.weight", gu[:, :inter].T)
@@ -516,7 +527,11 @@ def save_params_hf_layout(
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(
             {
-                "architectures": ["Qwen2ForCausalLM"],
+                "architectures": [
+                    {"qwen2": "Qwen2ForCausalLM", "llama": "LlamaForCausalLM",
+                     "qwen3": "Qwen3ForCausalLM"}[cfg.architecture]
+                ],
+                "head_dim": cfg.head_dim,
                 "hidden_size": cfg.hidden_size,
                 "num_attention_heads": cfg.num_attention_heads,
                 "num_key_value_heads": cfg.num_key_value_heads,

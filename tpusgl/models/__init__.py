@@ -16,6 +16,10 @@ REGISTRY = {
     # ModelConfig carries (verified token-identical vs HF LlamaForCausalLM
     # in tests/test_model_golden.py).
     "llama": qwen2,
+    # Qwen3 = Qwen2 graph + per-head q/k RMSNorm before RoPE, explicit
+    # head_dim, no qkv bias (ModelConfig.qk_norm / head_dim_override;
+    # golden-tested vs HF Qwen3ForCausalLM).
+    "qwen3": qwen2,
 }
 
 

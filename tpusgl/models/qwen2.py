@@ -82,7 +82,7 @@ def init_params(
 
     def one_layer(k):
         ks = jax.random.split(k, 4)
-        return {
+        layer = {
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
             "qkv": init_linear(
@@ -96,6 +96,10 @@ def init_params(
                 ks[3], None, cfg.intermediate_size, H, dtype, bias=False
             ),
         }
+        if cfg.qk_norm:  # Qwen3: per-head RMSNorm on q/k before RoPE
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+        return layer
 
     # Layers are a TUPLE of per-layer trees, not stacked [L, ...] arrays:
     # each weight is then its own device buffer read in place by the (Pallas)
@@ -149,6 +153,9 @@ def _layer(
     q = qkv[..., :q_size].reshape(B, S, Hq, D)
     k = qkv[..., q_size : q_size + kv_size].reshape(B, S, Hkv, D)
     v = qkv[..., q_size + kv_size :].reshape(B, S, Hkv, D)
+    if "q_norm" in layer_params:  # Qwen3 per-head RMSNorm before RoPE
+        q = rms_norm(q, layer_params["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer_params["k_norm"], cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 

@@ -122,7 +122,7 @@ def layer_shardings(layer: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         f = lin_shard(col)
         return {k: f(k, v) for k, v in lin.items()}
 
-    return {
+    out = {
         "input_norm": _ns(mesh),
         "post_norm": _ns(mesh),
         "qkv": map_linear(layer["qkv"], col=True),
@@ -130,6 +130,10 @@ def layer_shardings(layer: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         "gate_up": map_linear(layer["gate_up"], col=True),
         "down": map_linear(layer["down"], col=False),
     }
+    for extra in ("q_norm", "k_norm"):  # qwen3 per-head norms: replicated
+        if extra in layer:
+            out[extra] = _ns(mesh)
+    return out
 
 
 def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
