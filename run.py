@@ -31,6 +31,9 @@ def parse_args():
                    help="tensor-parallel shards (shard_map over the mesh)")
     p.add_argument("--stream", action="store_true",
                    help="print tokens as they are committed (generate_stream)")
+    p.add_argument("--speculative-tokens", type=int, default=0,
+                   help="prompt-lookup speculative decoding drafts per step "
+                   "(greedy only; 0 disables)")
     return p.parse_args()
 
 
@@ -60,6 +63,7 @@ def main():
                               kv_dtype=args.kv_dtype),
             enable_overlap=args.enable_overlap,
             tp=args.tp,
+            speculative_tokens=args.speculative_tokens,
             **overrides,
         ),
     )

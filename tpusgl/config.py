@@ -267,6 +267,15 @@ class EngineConfig:
     # compiles via the remote toolchain, and no scan-carry copies.
     unroll_layers: bool = True
 
+    # Prompt-lookup speculative decoding (the reference's roadmap item,
+    # README.md:52): propose up to `speculative_tokens` draft tokens by
+    # n-gram lookup in the request's own prompt+output, verify them all in
+    # ONE model step, accept the longest matching prefix. Greedy-only
+    # (do_sample batches fall back to normal decode) and checkpoint-free —
+    # no draft model. 0 disables.
+    speculative_tokens: int = 0
+    speculative_ngram: int = 2
+
     # Multi-step decode: run this many decode iterations inside one jitted
     # lax.scan, amortizing host dispatch over K tokens (the device-side
     # last_token buffer makes step k+1's input available without the host).

@@ -419,14 +419,16 @@ def pallas_attention(
     v_scale: Optional[float] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in attn_impl: Pallas paged kernel for decode (S == 1), jnp
-    extend/chunked attention for prefill (a prefill runs once per request;
-    decode runs every step for every request). `kv_l` may be an int8
-    (pool, per-token-scale) pair — see ops.attention.write_kv."""
+    """Drop-in attn_impl: Pallas paged kernel for decode (S == 1) and for
+    small-S speculative verify (S > 1 with a page table: all S tokens' KV
+    is written first, then one kernel call per query position j with the
+    causally-correct kv length — exact, and the pool is read through the
+    same paged stream). jnp extend/chunked attention for prefill. `kv_l`
+    may be an int8 (pool, per-token-scale) pair — see ops.attention.write_kv."""
     from tpusgl.ops.attention import chunked_attention, extend_attention, write_kv
 
     B, S, Hq, D = q.shape
-    if S != 1 or meta.page_tbl is None:
+    if meta.page_tbl is None:
         if meta.kv_rows is None:
             return extend_attention(layer_idx, q, k_new, v_new, kv_l, meta)
         return chunked_attention(layer_idx, q, k_new, v_new, kv_l, meta)
@@ -441,8 +443,15 @@ def pallas_attention(
         ("interpret", interpret),
     )
     fn = _jitted_paged_decode(kv_scale is not None, statics)
-    if kv_scale is not None:
-        out = fn(q[:, 0], buf, meta.seq_lens, meta.page_tbl, kv_scale)
-    else:
-        out = fn(q[:, 0], buf, meta.seq_lens, meta.page_tbl)
-    return out[:, None], kv_l
+
+    def one(j):
+        # Query j sees the prefix plus drafts <= j: meta.seq_lens is the
+        # length INCLUDING all S new tokens, so its kv length is
+        # seq_lens - (S - 1 - j).
+        lens_j = meta.seq_lens - (S - 1 - j)
+        if kv_scale is not None:
+            return fn(q[:, j], buf, lens_j, meta.page_tbl, kv_scale)
+        return fn(q[:, j], buf, lens_j, meta.page_tbl)
+
+    out = jnp.stack([one(j) for j in range(S)], axis=1)  # [B, S, Hq, D]
+    return out, kv_l

@@ -66,12 +66,16 @@ class _Submission:
     """One in-flight device step awaiting host commit (cf. OverlapBatch,
     scheduler.py:21-25)."""
 
-    mode: str  # "prefill" | "decode"
+    mode: str  # "prefill" | "decode" | "spec"
     requests: List[Request]
     epochs: List[int]
-    next_ids_dev: object  # device array: [B] (prefill) or [K, B_padded]
+    next_ids_dev: object  # device: [B] (prefill), [K, B] (decode),
+    #                       (greedy [B, S], accept [B]) (spec)
     window: int = 1  # decode steps folded into this submission
     submit_t: float = 0.0
+    # spec only: per-request (old_seq_len, ext, pages allocated this step)
+    # for commit-time advance + rejected-tail page rollback.
+    spec_meta: Optional[list] = None
 
 
 class Scheduler:
@@ -243,12 +247,13 @@ class Scheduler:
             if mode == "error" and pending is None:
                 raise RuntimeError("Insufficient memory to process any requests")
 
-            if pending is not None and any(
-                r.constraint_state is not None for r in batch
+            if pending is not None and (
+                any(r.constraint_state is not None for r in batch)
+                or self._spec_ok(batch, mode)
             ):
-                # Constraint masks must see committed tokens: drain the
-                # pipeline first (depth drops to 0 for constrained batches —
-                # vs the reference which disables constraints under overlap,
+                # Constraint masks and speculative drafts must see committed
+                # tokens: drain the pipeline first (depth drops to 0 — vs
+                # the reference which disables constraints under overlap,
                 # scheduler.py:632-637), then re-select since the commit may
                 # have finished or re-queued requests.
                 self._commit(pending)
@@ -262,6 +267,8 @@ class Scheduler:
             if batch:
                 if mode == "prefill":
                     submitted = self._run_prefill(batch)
+                elif self._spec_ok(batch, mode):
+                    submitted = self._run_spec_decode(batch)
                 else:
                     submitted = self._run_decode(batch)
 
@@ -269,7 +276,9 @@ class Scheduler:
                 self._commit(pending)
                 yield pending.requests
             pending = submitted
-            if pending is not None and not overlap:
+            # Speculative steps never pipeline: the next step's drafts (and
+            # its last-token inputs) come from THIS step's committed output.
+            if pending is not None and (not overlap or pending.mode == "spec"):
                 self._commit(pending)
                 yield pending.requests
                 pending = None
@@ -720,6 +729,169 @@ class Scheduler:
             window=K,
         )
 
+    # --------------------------------------------------- speculative decoding
+
+    def _spec_ok(self, batch: List[Request], mode: str) -> bool:
+        """Prompt-lookup speculation applies to pure-greedy decode batches
+        (exact: every accepted token equals what plain greedy decode would
+        have produced)."""
+        if mode != "decode" or self.cfg.speculative_tokens <= 0 or not batch:
+            return False
+        return all(
+            not r.do_sample
+            and r.constraint_state is None
+            and r.repetition_penalty <= 1.0
+            and r.top_k <= 0
+            and r.top_p >= 1.0
+            for r in batch
+        )
+
+    def _ngram_drafts(self, req: Request) -> List[int]:
+        """Propose draft tokens by matching the trailing n-gram earlier in
+        the request's own prompt+output (prompt-lookup decoding — drafts are
+        free; wrong ones cost only their rejected verify slots)."""
+        g = self.cfg.speculative_tokens
+        n = self.cfg.speculative_ngram
+        ids = req.full_ids
+        g = min(g, self.cfg.max_context_len - req.seq_len - 1,
+                req.remaining_new_tokens() - 1)
+        if g <= 0 or len(ids) <= n:
+            return []
+        key = ids[-n:]
+        # most recent earlier occurrence
+        for start in range(len(ids) - n - 1, -1, -1):
+            if ids[start : start + n] == key:
+                return ids[start + n : start + n + g]
+        return []
+
+    def _run_spec_decode(self, batch: List[Request]) -> _Submission:
+        """One speculative-verify step for a greedy decode batch: propose
+        up to speculative_tokens drafts per request, verify the whole
+        [B, 1+gamma] block in ONE forward, accept the longest matching
+        prefix + one bonus token (the reference lists speculative decoding
+        as unimplemented roadmap, README.md:52)."""
+        B = len(batch)
+        P = self.P
+        S = self.cfg.speculative_tokens + 1
+        Bb = pick_bucket(B, self.cfg.decode_bs_buckets)
+        R = self.cfg.max_requests
+        pps = self.cfg.pages_per_seq
+
+        req_indices = np.full((Bb,), R, np.int32)
+        seq_lens = np.zeros((Bb,), np.int32)
+        input_ids = np.zeros((Bb, S), np.int32)
+        ext_lens = np.zeros((Bb,), np.int32)
+        out_loc = np.zeros((Bb, S), np.int32)
+        page_tbl = np.zeros((Bb, pps), np.int32)
+        spec_meta = []
+        max_len = 0
+
+        for i, req in enumerate(batch):
+            drafts = self._ngram_drafts(req)
+            ext = 1 + len(drafts)
+            row = self.req_pool.req_to_token[req.req_pool_idx]
+            first_new_page = -(-req.seq_len // P)
+            last_page = (req.seq_len + ext - 1) // P
+            n_new = max(0, last_page - first_new_page + 1)
+            pages = None
+            if n_new > 0:
+                pages = self._alloc_pages_evicting(n_new)
+                if pages is None and ext > 1:
+                    # degrade to plain single-token verify under pressure
+                    drafts, ext = [], 1
+                    last_page = req.seq_len // P
+                    n_new = max(0, last_page - first_new_page + 1)
+                    pages = self._alloc_pages_evicting(n_new) if n_new else None
+                if n_new > 0 and pages is None:
+                    raise RuntimeError("Failed to allocate KV pages for spec")
+                if pages is not None:
+                    start = first_new_page * P
+                    stop = min((last_page + 1) * P, self.cfg.max_context_len)
+                    row[start:stop] = self.page_pool.page_slots(pages)[: stop - start]
+
+            out_loc[i, :ext] = row[req.seq_len : req.seq_len + ext]
+            input_ids[i, 0] = req.output_ids[-1]
+            if ext > 1:
+                input_ids[i, 1:ext] = drafts
+            req_indices[i] = req.req_pool_idx
+            seq_lens[i] = req.seq_len + S  # padded final length
+            ext_lens[i] = ext
+            page_tbl[i] = row[::P] // P
+            spec_meta.append(
+                (req.seq_len, ext,
+                 pages if pages is not None else np.empty((0,), np.int32))
+            )
+            max_len = max(max_len, req.seq_len + ext)
+            req.inflight_steps += 1
+
+        if self.check_sched:
+            from tpusgl.parallel.multihost import (
+                assert_same_schedule, schedule_digest,
+            )
+
+            assert_same_schedule(schedule_digest("spec", req_indices, seq_lens))
+
+        kv_len = self._kv_bucket(max_len)
+        self.state, out = self.steps.verify(
+            kv_len, S, self.state, req_indices, seq_lens, input_ids,
+            ext_lens, out_loc, page_tbl,
+        )
+        self.metrics["decode_steps"] += 1
+        self.metrics["decode_iters"] += 1
+        self.metrics["spec_steps"] = self.metrics.get("spec_steps", 0) + 1
+        self.metrics["spec_proposed"] = (
+            self.metrics.get("spec_proposed", 0) + int(ext_lens[:B].sum()) - B
+        )
+        self.metrics["decode_kv_token_reads"] += int(seq_lens[:B].sum())
+        self.metrics["decode_batch_sizes"].append(B)
+        return _Submission(
+            mode="spec",
+            requests=list(batch),
+            epochs=[r.epoch for r in batch],
+            next_ids_dev=out,
+            spec_meta=spec_meta,
+        )
+
+    def _commit_spec(self, sub: _Submission) -> None:
+        greedy = np.asarray(sub.next_ids_dev[0])  # [Bb, S]
+        accept = np.asarray(sub.next_ids_dev[1])  # [Bb]
+        for i, req in enumerate(sub.requests):
+            seq_old, ext, pages = sub.spec_meta[i]
+            if req.epoch != sub.epochs[i]:
+                self.page_pool.free_pages(np.asarray(pages, np.int32))
+                continue
+            req.inflight_steps -= 1
+            a = min(int(accept[i]), ext - 1)
+            appended = 0
+            for j in range(a + 1):
+                t = int(greedy[i, j])
+                req.output_ids.append(t)
+                appended += 1
+                self.metrics["decode_tokens"] += 1
+                if j > 0:
+                    self.metrics["spec_accepted"] = (
+                        self.metrics.get("spec_accepted", 0) + 1
+                    )
+                if len(req.output_ids) >= req.max_new_tokens or (
+                    req.eos_id != -1 and t == req.eos_id
+                ):
+                    req.finished = True
+                    break
+            req.seq_len = seq_old + appended
+            # Free pages allocated this step whose POSITION range lies
+            # wholly past the new length (rejected drafts' slots). The k-th
+            # allocated page covers positions starting at
+            # (first_new_page + k) * P.
+            pages = np.asarray(pages, np.int32)
+            if len(pages):
+                first_new_page = -(-seq_old // self.P)
+                starts = (first_new_page + np.arange(len(pages))) * self.P
+                self.page_pool.free_pages(pages[starts >= req.seq_len])
+            if req.finished:
+                self._cache_finished(req)
+                self.finished.append(req)
+        self.decoding = [r for r in self.decoding if not r.finished]
+
     def _kv_bucket(self, max_len: int) -> int:
         b = round_up(max(max_len, 1), self.cfg.kv_len_bucket)
         return min(b, self.cfg.max_context_len)
@@ -790,6 +962,12 @@ class Scheduler:
         the reference's _process_results (scheduler.py:548-589) and
         _process_results_overlap (scheduler.py:700-761), generalized to
         decode windows."""
+        if sub.mode == "spec":
+            t0 = time.perf_counter()
+            self._commit_spec(sub)
+            self.metrics["decode_wait_s"] += time.perf_counter() - t0
+            return
+
         if sub.mode == "prefill":
             t0 = time.perf_counter()
             ids_arr = np.asarray(sub.next_ids_dev)  # [Bb]; D2H sync point

@@ -99,7 +99,11 @@ class StepFunctions:
         model, cfg = self.model, model_cfg
         tp = 1 if mesh is None else int(mesh.shape["tp"])
 
-        def make_fwd(attn):
+        def make_fwd(attn, full_hidden: bool = False):
+            # full_hidden=True returns hidden for EVERY position (the
+            # speculative-verify step scores all draft positions);
+            # otherwise only the last real token's hidden state.
+            fwd = model.forward_hidden if full_hidden else model.forward
             # inline=True everywhere below: the wrapper exists to cache ONE
             # trace of the L-layer stack across the window's call sites; a
             # real call boundary made XLA copy the evolving KV pool into the
@@ -107,7 +111,7 @@ class StepFunctions:
             # per iteration — measured as async slice ops in the profile).
             if tp == 1:
                 return jax.jit(
-                    lambda params, ids, meta, kv: model.forward(
+                    lambda params, ids, meta, kv: fwd(
                         params, cfg, ids, meta, kv, attn_impl=attn
                     ),
                     inline=True,
@@ -137,7 +141,7 @@ class StepFunctions:
             rep = P()
             return jax.jit(
                 jax.shard_map(
-                    lambda params, ids, meta, kv: model.forward(
+                    lambda params, ids, meta, kv: fwd(
                         params, cfg, ids, meta, kv, attn_impl=attn,
                         tp=tp, axis_name="tp",
                     ),
@@ -151,6 +155,10 @@ class StepFunctions:
 
         self._fwd = make_fwd(attn_impl)
         self._fwd_prefill = make_fwd(extend_attention)
+        # Built on demand (speculative decoding only).
+        self._make_fwd = make_fwd
+        self._fwd_verify = None
+        self._verify_jit = {}
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
         """AttnMeta for one decode iteration. kv_len only bounds the jnp
@@ -252,6 +260,91 @@ class StepFunctions:
         return fn(
             self.params, state, req_indices, seq_lens0, out_loc, page_tbl,
             samp, cmask,
+        )
+
+    # ------------------------------------------------------------------ verify
+
+    def make_verify_fn(self, kv_len: int, S: int):
+        """Speculative-verify step (prompt-lookup decoding): forward the
+        [B, S] block [last_token, draft_1..draft_{S-1}] through the decoder
+        — KV is written for every position, and attention gives query j the
+        causally-correct kv length — greedy-score every position, and
+        accept the longest matching draft prefix ON DEVICE. Greedy-only;
+        the scheduler gates on do_sample=False batches.
+
+        `seq_lens` is the PADDED final length (old_seq + S) for every real
+        row; rows with fewer real inputs (ext < S) pad with dummy-slot
+        writes that no causal query ever reads."""
+        cfg = self.model_cfg
+
+        def verify_step(
+            params,
+            state: EngineState,
+            req_indices: jnp.ndarray,  # [B] i32 (padding rows == max_requests)
+            seq_lens: jnp.ndarray,     # [B] i32 old_seq + S (padded length)
+            input_ids: jnp.ndarray,    # [B, S] i32 [last, drafts...]
+            ext_lens: jnp.ndarray,     # [B] i32 1 + num real drafts
+            out_loc: jnp.ndarray,      # [B, S] i32 slots (0 past ext)
+            page_tbl: jnp.ndarray,     # [B, pages_per_seq] i32
+        ):
+            kv = _zip_kv(state)
+            P = self.engine_cfg.page_size
+            kv_rows = None
+            if not self.paged_kernel:
+                from tpusgl.ops.attention import rows_from_pages
+
+                kv_rows = rows_from_pages(page_tbl, kv_len, P)
+            positions = seq_lens[:, None] - S + jnp.arange(S, dtype=jnp.int32)[None, :]
+            positions = jnp.clip(positions, 0, cfg.max_position_embeddings - 1)
+            meta = AttnMeta(
+                kv_rows=kv_rows,
+                seq_lens=seq_lens,
+                ext_lens=ext_lens,
+                positions=positions,
+                out_loc=out_loc,
+                page_tbl=page_tbl if self.paged_kernel else None,
+            )
+            hidden, kv = self._fwd_verify(params, input_ids, meta, kv)
+            logits = self.model.lm_head_logits(params, cfg, hidden)  # [B,S,V]
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B,S]
+            # accept = number of leading drafts whose greedy prediction at
+            # the previous position equals them.
+            ok = greedy[:, :-1] == input_ids[:, 1:]
+            jpos = jnp.arange(S - 1, dtype=jnp.int32)[None, :]
+            ok = ok & (jpos < (ext_lens - 1)[:, None])
+            accept = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+            final = jnp.take_along_axis(greedy, accept[:, None], axis=1)[:, 0]
+            last_token = state.last_token.at[req_indices].set(final)
+            kv, kv_scale = _unzip_kv(kv, state.kv_scale is not None)
+            new_state = state._replace(
+                kv=kv, kv_scale=kv_scale, last_token=last_token,
+            )
+            return new_state, (greedy, accept)
+
+        return verify_step
+
+    def get_verify_jit(self, batch: int, kv_len: int, S: int):
+        if self._fwd_verify is None:
+            self._fwd_verify = self._make_fwd(self.attn_impl, full_hidden=True)
+        if self.paged_kernel:
+            kv_len = self.engine_cfg.max_context_len
+        key = (batch, kv_len, S)
+        fn = self._verify_jit.get(key)
+        if fn is None:
+            fn = jax.jit(self.make_verify_fn(kv_len, S), donate_argnums=(1,))
+            self._verify_jit[key] = fn
+        return fn
+
+    def verify(
+        self, kv_len: int, S: int, state, req_indices, seq_lens, input_ids,
+        ext_lens, out_loc, page_tbl,
+    ):
+        """Run one speculative-verify step; returns
+        (state, (greedy [B, S], accept [B]))."""
+        fn = self.get_verify_jit(int(req_indices.shape[0]), kv_len, S)
+        return fn(
+            self.params, state, req_indices, seq_lens, input_ids, ext_lens,
+            out_loc, page_tbl,
         )
 
     # ----------------------------------------------------------------- prefill
