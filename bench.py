@@ -19,23 +19,26 @@ import time
 
 
 def main() -> None:
+    # Defaults are the BASELINE.md north-star config (Qwen2.5-7B INT8
+    # weights + INT8 KV, reference workload protocol): a bare
+    # `python bench.py` measures and prints the flagship number.
     parser = argparse.ArgumentParser()
-    parser.add_argument("--model", default="qwen2.5-0.5b")
+    parser.add_argument("--model", default="qwen2.5-7b")
     parser.add_argument("--num-seqs", type=int, default=256)
     parser.add_argument("--min-input", type=int, default=100)
     parser.add_argument("--max-input", type=int, default=1024)
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--temperature", type=float, default=0.6)
-    parser.add_argument("--weight-dtype", default="bf16",
+    parser.add_argument("--weight-dtype", default="int8",
                         choices=["bf16", "int8", "int4"])
-    parser.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
+    parser.add_argument("--kv-dtype", default="int8", choices=["bf16", "int8"])
     parser.add_argument("--no-overlap", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--max-requests", type=int, default=None,
-                        help="concurrent request slots (default: num_seqs, "
-                        "capped at 256)")
+    parser.add_argument("--max-requests", type=int, default=96,
+                        help="concurrent request slots (96 fits the 7B INT8 "
+                        "weights + INT8 KV pool in one 16 GB chip)")
     parser.add_argument("--decode-window", type=int, default=8)
-    parser.add_argument("--prefill-budget", type=int, default=8192,
+    parser.add_argument("--prefill-budget", type=int, default=4096,
                         help="max tokens per batched prefill step (lower for "
                         "big models to bound activation memory)")
     parser.add_argument("--profile", default=None, metavar="DIR",

@@ -222,7 +222,8 @@ def test_72b_int4_tp8_program_lowers():
     from tpusgl.ops.sampling import SamplingArrays
     from tpusgl.runtime.state import EngineState
     from tpusgl.runtime.steps import StepFunctions
-    from tpusgl.ops.attention import make_kv_pool, scale_rows_per_page
+    from tpusgl.ops.attention import make_kv_pool
+    from tpusgl.runtime.state import scale_pool_rows_per_page
 
     cfg = resolve_model_config("qwen2.5-72b")
     quant = QuantConfig(weight_dtype="int4", kv_dtype="int8")
@@ -254,7 +255,8 @@ def test_72b_int4_tp8_program_lowers():
     slots = ecfg.max_total_tokens
     Hkv, D, L = cfg.num_key_value_heads, cfg.head_dim, cfg.num_hidden_layers
     rows = slots + P
-    r8 = scale_rows_per_page(Hkv)
+    # tp-sharded scale-pool geometry — the ONE convention (state.py).
+    r8 = scale_pool_rows_per_page(Hkv, tp=8)
     state_av = EngineState(
         kv=tuple(sds((rows, Hkv * 2 * D), jnp.int8) for _ in range(L)),
         kv_scale=tuple(sds(((rows // P) * r8, P), jnp.float32) for _ in range(L)),

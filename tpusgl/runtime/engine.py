@@ -272,13 +272,12 @@ class Engine:
             if eos is not None:
                 sampling.eos_id = eos
         token_reqs = self._encode(requests)
-        order = [
-            self.scheduler.make_request(ids, sampling) for ids in token_reqs
-        ]
+        # enqueue_requests broadcasts from host 0 when multi-process, so
+        # streaming is multihost-safe exactly like run_batch.
+        order = self.scheduler.enqueue_requests(token_reqs, sampling)
         index = {id(r): i for i, r in enumerate(order)}
         emitted = [0] * len(order)
         done = [False] * len(order)
-        self.scheduler.waiting.extend(order)
         for committed in self.scheduler.step_events(enable_overlap):
             for req in committed:
                 i = index.get(id(req))

@@ -94,6 +94,10 @@ class Scheduler:
         self.tokenizer = tokenizer
         self.P = engine_cfg.page_size
 
+        from tpusgl.runtime.state import check_scale_geometry
+
+        check_scale_geometry(state, model_cfg, engine_cfg)
+
         self.req_pool = ReqSlotPool(engine_cfg.max_requests, engine_cfg.max_context_len)
         self.page_pool = PagePool(engine_cfg.max_total_tokens, self.P)
         self.tree = PagedRadixCache(self.P)
@@ -101,6 +105,10 @@ class Scheduler:
         self.waiting: List[Request] = []
         self.decoding: List[Request] = []
         self.finished: List[Request] = []
+        # In-progress chunked prefill of ONE long extension (its chunks run
+        # as separate submissions so decode interleaves between them).
+        self.chunking: Optional[dict] = None
+        self._chunk_turn = False
 
         self.est_new_token_ratio = engine_cfg.new_token_ratio_init
         self._decay = (
@@ -149,6 +157,8 @@ class Scheduler:
         self.waiting.clear()
         self.decoding.clear()
         self.finished.clear()
+        self.chunking = None
+        self._chunk_turn = False
         self.est_new_token_ratio = self.cfg.new_token_ratio_init
         for v in self.metrics.values():
             if isinstance(v, list):
@@ -201,6 +211,21 @@ class Scheduler:
         process's scheduler sees the same queue in the same order and the
         SPMD step programs stay identical (SURVEY.md §7 M5). Non-zero hosts
         call this with any (ignored) `requests` value, typically []."""
+        order = self.enqueue_requests(requests, sampling)
+        if not order:
+            return []
+        self.run_until_done(overlap)
+        return [req.output_ids for req in order]
+
+    def enqueue_requests(
+        self,
+        requests: Sequence[Sequence[int]],
+        sampling: Optional[SamplingParams] = None,
+    ) -> List[Request]:
+        """Broadcast (multi-process) + enqueue a request stream; the ONLY
+        sanctioned injection point into `waiting` — streaming and batch
+        entry both go through it, so a multi-process run can never see
+        divergent queues (VERDICT r2 #7)."""
         if sampling is None:
             sampling = SamplingParams()
         if self._multihost:
@@ -220,11 +245,8 @@ class Scheduler:
             requests = payload["reqs"]
             sampling = SamplingParams(**payload["sp"])
         order = [self.make_request(ids, sampling) for ids in requests]
-        if not order:
-            return []
         self.waiting.extend(order)
-        self.run_until_done(overlap)
-        return [req.output_ids for req in order]
+        return order
 
     def run_until_done(self, overlap: Optional[bool] = None) -> None:
         """Step until every queued request is finished."""
@@ -240,7 +262,10 @@ class Scheduler:
             overlap = self.cfg.enable_overlap
         pending: Optional[_Submission] = None
         while True:
-            if not self.waiting and not self.decoding and pending is None:
+            if (
+                not self.waiting and not self.decoding
+                and self.chunking is None and pending is None
+            ):
                 break
 
             batch, mode = self._select_batch()
@@ -265,7 +290,9 @@ class Scheduler:
 
             submitted: Optional[_Submission] = None
             if batch:
-                if mode == "prefill":
+                if mode == "chunk":
+                    submitted = self._run_prefill_chunk()
+                elif mode == "prefill":
                     submitted = self._run_prefill(batch)
                 elif self._spec_ok(batch, mode):
                     submitted = self._run_spec_decode(batch)
@@ -299,6 +326,20 @@ class Scheduler:
     # -------------------------------------------------------------- selection
 
     def _select_batch(self) -> Tuple[List[Request], str]:
+        if self.chunking is not None:
+            # Alternate: one decode step between consecutive chunks when
+            # there are active decoders, so a long prompt never stalls
+            # decoding requests (VERDICT r2 #6).
+            if not self._chunk_turn and self.decoding:
+                self._chunk_turn = True
+                batch = self._try_select_decode()
+                batch = [
+                    r for r in batch if r.seq_len < self.cfg.max_context_len
+                ]
+                if batch:
+                    return batch, "decode"
+            self._chunk_turn = False
+            return [self.chunking["req"]], "chunk"
         if self.waiting:
             batch = self._try_select_prefill()
             if batch:
@@ -516,10 +557,22 @@ class Scheduler:
     def _run_prefill(self, batch: List[Request]) -> _Submission:
         """Prefill the admitted group as ONE batched [B, S] device step
         (vs round 1's serialized [1, S] step per request — the cause of the
-        4.4 s TTFT p50), or as a chunked series of [1, chunk] steps for a
-        long extension (cf. the reference's ragged concat + whole-suffix
-        prefill, scheduler.py:393-407, which capped prompt length)."""
+        4.4 s TTFT p50). A long extension instead becomes the scheduler's
+        `chunking` state: its chunks run as individual submissions through
+        the normal select loop so DECODE STEPS INTERLEAVE between chunks
+        (cf. the reference's ragged concat + whole-suffix prefill,
+        scheduler.py:393-407, which capped prompt length)."""
         rows = self._prefill_rows(batch)
+
+        if len(rows) == 1 and rows[0][2] > self.cfg.prefill_chunk:
+            req, cached, ext, own_slots = rows[0]
+            if req in self.waiting:
+                self.waiting.remove(req)
+            self.chunking = {
+                "req": req, "cached": cached, "ext": ext,
+                "own_slots": own_slots, "pos": cached,
+            }
+            return self._run_prefill_chunk()
 
         # Eager queue transition (scheduler.py:676-681): decode may be
         # scheduled before these commits; inputs come from device last_token.
@@ -530,10 +583,7 @@ class Scheduler:
                 self.decoding.append(req)
             req.inflight_steps += 1
 
-        if len(rows) == 1 and rows[0][2] > self.cfg.prefill_chunk:
-            next_ids = self._prefill_chunked(*rows[0])
-        else:
-            next_ids = self._prefill_group(rows)
+        next_ids = self._prefill_group(rows)
 
         return _Submission(
             mode="prefill",
@@ -595,51 +645,90 @@ class Scheduler:
         self.metrics["prefill_steps"] += 1
         return next_ids
 
-    def _prefill_chunked(self, req: Request, cached: int, ext: int,
-                         own_slots: np.ndarray) -> "jnp.ndarray":
-        """Chunked prefill of one long extension: a series of [1, chunk]
-        steps; only the final chunk samples/commits (intermediate steps
-        target the dummy request row). Bounds per-step memory and removes
-        the old hard cap at the largest prefill bucket (SURVEY.md §7
-        'chunked prefill in the scheduler')."""
+    def _run_prefill_chunk(self) -> _Submission:
+        """ONE chunk of the in-progress long-extension prefill as its own
+        submission: a [1, chunk] step; only the final chunk samples and
+        commits a token (intermediate steps target the dummy request row).
+        Because each chunk goes through the normal select loop, decode steps
+        for other requests run between chunks (SURVEY.md §7 'chunked prefill
+        in the scheduler' + decode interleaving, VERDICT r2 #6). Bounds
+        per-step memory and removes any hard prompt-length cap."""
+        st = self.chunking
+        assert st is not None
+        req: Request = st["req"]
+        cached, ext, own_slots = st["cached"], st["ext"], st["own_slots"]
         chunk = self.cfg.prefill_chunk
         R = self.cfg.max_requests
         L = cached + ext
+        start = st["pos"]
         mirror = self.req_pool.req_to_token[req.req_pool_idx]
-        next_ids = None
-        start = cached
-        while start < L:
-            clen = min(chunk, L - start)
-            is_last = start + clen >= L
-            S = pick_bucket(clen, self.cfg.prefill_len_buckets)
-            ids_pad = np.zeros((1, S), np.int32)
-            ids_pad[0, :clen] = req.full_ids[start : start + clen]
-            loc_pad = np.zeros((1, S), np.int32)
-            loc_pad[0, :clen] = own_slots[start - cached : start - cached + clen]
-            prefix_rows = None
-            if start > 0:
-                Tp = self._prefix_bucket(start)
-                prefix_rows = np.zeros((1, Tp), np.int32)
-                n = min(Tp, start)
-                prefix_rows[0, :n] = mirror[:n]
-            self.state, next_ids = self.steps.prefill(
-                self.state,
-                np.array([req.req_pool_idx if is_last else R], np.int32),
-                ids_pad,
-                np.array([start + clen], np.int32),
-                np.array([start], np.int32),
-                loc_pad,
-                prefix_rows,
-                self._samp_arrays([req]),
-                self._penalty_ids([req]),
-                self._constraint_mask([req]) if is_last else None,
-                simple=self._is_simple([req]),
+
+        clen = min(chunk, L - start)
+        is_last = start + clen >= L
+        S = pick_bucket(clen, self.cfg.prefill_len_buckets)
+        ids_pad = np.zeros((1, S), np.int32)
+        ids_pad[0, :clen] = req.full_ids[start : start + clen]
+        loc_pad = np.zeros((1, S), np.int32)
+        loc_pad[0, :clen] = own_slots[start - cached : start - cached + clen]
+        prefix_rows = None
+        if start > 0:
+            Tp = self._prefix_bucket(start)
+            prefix_rows = np.zeros((1, Tp), np.int32)
+            n = min(Tp, start)
+            prefix_rows[0, :n] = mirror[:n]
+
+        req_idx_arr = np.array([req.req_pool_idx if is_last else R], np.int32)
+        seq_len_arr = np.array([start + clen], np.int32)
+        if self.check_sched:
+            from tpusgl.parallel.multihost import (
+                assert_same_schedule, schedule_digest,
             )
-            self.metrics["prefill_steps"] += 1
-            start += clen
+
+            # Every submitted program carries a digest — a long prompt is
+            # exactly where hosts could diverge undetected (VERDICT r2 #6).
+            assert_same_schedule(
+                schedule_digest("chunk", req_idx_arr, seq_len_arr)
+            )
+
+        self.state, next_ids = self.steps.prefill(
+            self.state,
+            req_idx_arr,
+            ids_pad,
+            seq_len_arr,
+            np.array([start], np.int32),
+            loc_pad,
+            prefix_rows,
+            self._samp_arrays([req]),
+            self._penalty_ids([req]),
+            self._constraint_mask([req]) if is_last else None,
+            simple=self._is_simple([req]),
+        )
+        self.metrics["prefill_steps"] += 1
+        st["pos"] = start + clen
+        req.inflight_steps += 1
+
+        if not is_last:
+            return _Submission(
+                mode="chunk",
+                requests=[req],
+                epochs=[req.epoch],
+                next_ids_dev=next_ids,
+                submit_t=time.perf_counter(),
+            )
+
+        # Final chunk: the request becomes a normal prefill commit + decoder.
+        self.chunking = None
         self.metrics["prefill_tokens"] += ext
         self.metrics["cached_tokens"] += cached
-        return next_ids
+        if req not in self.decoding:
+            self.decoding.append(req)
+        return _Submission(
+            mode="prefill",
+            requests=[req],
+            epochs=[req.epoch],
+            next_ids_dev=next_ids,
+            submit_t=time.perf_counter(),
+        )
 
     def _pick_window(self, batch: List[Request]) -> int:
         """How many decode steps to fold into one program. Constrained
@@ -966,6 +1055,16 @@ class Scheduler:
             t0 = time.perf_counter()
             self._commit_spec(sub)
             self.metrics["decode_wait_s"] += time.perf_counter() - t0
+            return
+
+        if sub.mode == "chunk":
+            # Non-final chunk of a long prefill: no token to commit — just
+            # backpressure on the device step so the pipeline stays 1 deep.
+            t0 = time.perf_counter()
+            np.asarray(sub.next_ids_dev)
+            self.metrics["prefill_wait_s"] += time.perf_counter() - t0
+            for req in sub.requests:
+                req.inflight_steps -= 1
             return
 
         if sub.mode == "prefill":

@@ -32,6 +32,36 @@ from tpusgl.config import EngineConfig, ModelConfig
 from tpusgl.ops.attention import make_kv_pool
 
 
+def scale_pool_rows_per_page(Hkv: int, tp: int = 1) -> int:
+    """Global int8-KV scale-pool rows per page for a tp-sharded engine.
+
+    The scale pool is ROW-sharded over tp (parallel/mesh.state_shardings),
+    so each page's block must be 8-row sublane-aligned PER LOCAL SHARD:
+    scale_rows_per_page(Hkv // tp) rows per shard, stacked tp times. Every
+    allocator / test / avatar must use THIS function — the decode kernel
+    asserts the local-shard layout (ops/paged_attention.py)."""
+    from tpusgl.ops.attention import scale_rows_per_page
+
+    return scale_rows_per_page(Hkv // tp) * tp
+
+
+def check_scale_geometry(state: "EngineState", model_cfg, engine_cfg) -> None:
+    """Assert the state's int8-KV scale pool matches the engine geometry
+    (catches mismatched init/shard paths before the kernel's opaque assert)."""
+    if state.kv_scale is None:
+        return
+    P = engine_cfg.page_size
+    pages = state.kv[0].shape[0] // P
+    want = pages * scale_pool_rows_per_page(
+        model_cfg.num_key_value_heads, int(engine_cfg.tp)
+    )
+    got = state.kv_scale[0].shape
+    assert got == (want, P), (
+        "int8-KV scale pool geometry mismatch: ", got, (want, P),
+        dict(Hkv=model_cfg.num_key_value_heads, tp=engine_cfg.tp, page=P),
+    )
+
+
 class EngineState(NamedTuple):
     kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
     # Per-token scales when kv is int8: 8-row-aligned per-page blocks, one
@@ -67,12 +97,17 @@ def init_state(
     quant_kv = engine_cfg.quant.kv_dtype == "int8"
     store_dtype = jnp.int8 if quant_kv else kv_dtype
 
-    from tpusgl.ops.attention import scale_rows_per_page
-
-    tp = 1 if mesh is None else int(mesh.shape["tp"])
-    # Per-shard-local scale geometry (the pool is only accessed on local
-    # shards inside shard_map); the global row count stacks tp local pools.
-    r8 = scale_rows_per_page(Hkv // tp) * tp
+    # SINGLE source of truth for the scale-pool geometry: engine_cfg.tp.
+    # (Round-2 regression: deriving tp from the optional `mesh` arg meant a
+    # caller that sharded a tp=1-geometry state got per-shard scale blocks
+    # the kernel rejects. The mesh now only controls placement.)
+    tp = int(engine_cfg.tp)
+    if mesh is not None:
+        assert int(mesh.shape["tp"]) == tp, (
+            "mesh tp must match engine_cfg.tp", dict(mesh.shape), tp
+        )
+    assert Hkv % tp == 0, ("tp must divide kv heads", Hkv, tp)
+    r8 = scale_pool_rows_per_page(Hkv, tp)
 
     def alloc():
         kv = make_kv_pool(L, slots, Hkv, D, store_dtype, page_size=P)
