@@ -70,10 +70,12 @@ def main() -> None:
     max_requests = args.max_requests or min(args.num_seqs, 256)
     ctx = 1 << (args.max_input + args.max_new_tokens - 1).bit_length()
     # Per-token-scale INT8 KV needs 128-token pages on the compiled kernel
-    # (Mosaic lane-slice tiling, ops/paged_attention.py). 512-token DMA
+    # (Mosaic lane-slice tiling, ops/paged_attention.py). 1024-token DMA
     # blocks (pages_per_block x page_size) amortize per-block kernel
-    # overhead; the measured 256-token blocks ran at ~46% of HBM peak.
-    page_size, ppb = (128, 4) if args.kv_dtype == "int8" else (32, 16)
+    # overhead: measured 190 us -> 160 us per decode-attention call at the
+    # 7B bench geometry vs 512-token blocks (the kernel is DMA-issue bound,
+    # not bandwidth bound, at short-to-mid context).
+    page_size, ppb = (128, 8) if args.kv_dtype == "int8" else (32, 16)
     ecfg = EngineConfig.from_env(
         quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
         enable_overlap=not args.no_overlap,

@@ -55,7 +55,7 @@ def main():
 
     overrides = {}
     if args.kv_dtype == "int8":
-        overrides.update(page_size=128, pages_per_block=4)
+        overrides.update(page_size=128, pages_per_block=8)
     engine = Engine(
         args.model_id,
         engine_cfg=EngineConfig.from_env(

@@ -110,14 +110,20 @@ def _paged_engine(ecfg, params, quant_kernel=False):
     import functools
 
     from tpusgl.ops.paged_attention import pallas_attention
+    from tpusgl.ops.prefill_attention import pallas_prefill
 
     attn = functools.partial(
         pallas_attention, page_size=ecfg.page_size,
         pages_per_block=ecfg.pages_per_block, interpret=True,
     )
+    prefill = functools.partial(
+        pallas_prefill, page_size=ecfg.page_size,
+        pages_per_block=ecfg.pages_per_block, interpret=True,
+    )
     return Engine(
         model_cfg=KCFG, engine_cfg=ecfg, params=params, dtype=jnp.float32,
         attn_impl=attn, sample_k_cap=KCFG.vocab_size, paged_kernel=True,
+        prefill_impl=prefill,
     )
 
 

@@ -221,6 +221,11 @@ class EngineConfig:
     page_size: int = 32
     # KV pages fetched per kernel block (double-buffered DMA window).
     pages_per_block: int = 8
+    # Sub-page prefix reuse (radix match_tail + page copy-in): minimum
+    # matched-tail length worth a device page copy. Short accidental matches
+    # (random workloads collide on 1-2 tokens) would otherwise trigger the
+    # copy program + the has_prefix prefill program for near-zero reuse.
+    tail_min_tokens: int = 16
 
     # Admission / retraction policy (reference scheduler.py:64-70).
     new_token_ratio_init: float = 0.5

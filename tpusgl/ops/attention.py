@@ -121,14 +121,21 @@ def write_kv(
         absmax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
         scale = absmax / 127.0 + 1e-12  # [N, Hkv, 2, 1]
         q = jnp.clip(jnp.round(rf / scale), -127, 127).astype(jnp.int8)
-        buf = buf.at[flat_loc].set(q.reshape(-1, Hkv * 2 * D), mode="drop")
+        # unique_indices: every real (token, head, k/v) target is distinct;
+        # only padding tokens collide on the dummy page-0 rows, whose values
+        # are never read (kv_len masks them) — declaring uniqueness lets XLA
+        # skip the slow duplicate-combining scatter path.
+        buf = buf.at[flat_loc].set(
+            q.reshape(-1, Hkv * 2 * D), mode="drop", unique_indices=True
+        )
         srow = scale_row(flat_loc // P, Hkv, R8)  # [N, Hkv, 2]
         sc = sc.at[srow, (flat_loc % P)[:, None, None]].set(
-            scale[..., 0].astype(jnp.float32), mode="drop"
+            scale[..., 0].astype(jnp.float32), mode="drop", unique_indices=True
         )
         return (buf, sc)
     return kv_l.at[flat_loc].set(
-        rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop"
+        rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop",
+        unique_indices=True,
     )
 
 

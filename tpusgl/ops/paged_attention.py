@@ -182,6 +182,18 @@ def _decode_kernel(
                         jnp.int32, (1, N), 1
                     )
                     valid = pos < kv_len  # [1, N]
+                    # Matmuls run in the ACTIVATION dtype with f32 accumulate
+                    # (int8 values are exact in bf16; an f32 cast here forced
+                    # the MXU onto its ~4x slower f32 path — measured half the
+                    # kernel's time at the 7B decode geometry). Static scales
+                    # fold into sm_scale / the accumulate.
+                    mmd = q_ref.dtype
+                    k_mul = sm_scale * (
+                        k_scale if kvb.dtype == jnp.int8 and k_scale else 1.0
+                    )
+                    v_mul = (
+                        v_scale if kvb.dtype == jnp.int8 and v_scale else 1.0
+                    )
                     m_new, l_new, acc_new = [], [], []
                     # Static loop over kv heads: Mosaic wants plain 2D
                     # matmuls. The minor-dim slice picks one head's K (or V)
@@ -190,19 +202,15 @@ def _decode_kernel(
                     for h in range(Hkv):
                         k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
                         v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
-                        if kvb.dtype == jnp.int8:
-                            k_h = k_h.astype(jnp.float32) * (k_scale or 1.0)
-                            v_h = v_h.astype(jnp.float32) * (v_scale or 1.0)
-                        else:
-                            k_h = k_h.astype(jnp.float32)
-                            v_h = v_h.astype(jnp.float32)
-                        q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+                        k_h = k_h.astype(mmd)
+                        v_h = v_h.astype(mmd)
+                        q_h = q_ref[s, h * G : (h + 1) * G, :]
 
                         sc = jax.lax.dot_general(
                             q_h, k_h,
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                        ) * sm_scale  # [G, N]
+                        ) * k_mul  # [G, N]
                         sc = jnp.where(valid, sc, NEG_INF)
 
                         m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
@@ -210,13 +218,13 @@ def _decode_kernel(
                         alpha = jnp.exp(m[h] - m_h)
                         l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
                         pv = jax.lax.dot_general(
-                            p, v_h,
+                            p.astype(mmd), v_h,
                             dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )  # [G, D]
                         m_new.append(m_h)
                         l_new.append(l_h)
-                        acc_new.append(alpha * acc[h] + pv)
+                        acc_new.append(alpha * acc[h] + pv * v_mul)
                     return tuple(m_new), tuple(l_new), tuple(acc_new)
 
                 # Per-token-scale path: same full-block matmuls as above,
@@ -231,12 +239,17 @@ def _decode_kernel(
                     jnp.int32, (1, N), 1
                 )
                 valid = pos < kv_len  # [1, N]
+                # Activation-dtype matmuls, f32 accumulate (see the no-scale
+                # branch above); the per-token scales stay f32 and multiply
+                # the f32 SCORE / PROB columns, so dequant precision is
+                # unchanged — only the int8->bf16 K/V cast feeds the MXU.
+                mmd = q_ref.dtype
                 m_new, l_new, acc_new = [], [], []
                 for h in range(Hkv):
                     k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(N, D)
                     v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(N, D)
-                    k_h = k_h.astype(jnp.float32)
-                    v_h = v_h.astype(jnp.float32)
+                    k_h = k_h.astype(mmd)
+                    v_h = v_h.astype(mmd)
                     ks = jnp.concatenate(
                         [sbufs[slot, i, 2 * h : 2 * h + 1, :] for i in range(BP)],
                         axis=1,
@@ -245,7 +258,7 @@ def _decode_kernel(
                         [sbufs[slot, i, 2 * h + 1 : 2 * h + 2, :] for i in range(BP)],
                         axis=1,
                     )
-                    q_h = q_ref[s, h * G : (h + 1) * G, :].astype(jnp.float32)
+                    q_h = q_ref[s, h * G : (h + 1) * G, :]
 
                     sc = jax.lax.dot_general(
                         q_h, k_h,
@@ -259,7 +272,7 @@ def _decode_kernel(
                     alpha = jnp.exp(m[h] - m_h)
                     l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
                     pv = jax.lax.dot_general(
-                        p * vs, v_h,
+                        (p * vs).astype(mmd), v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # [G, D]
@@ -327,7 +340,7 @@ def paged_decode_attention(
     )
     in_specs = [
         pl.BlockSpec((SB, Hq, D), lambda g, lens, tbl: (g, 0, 0)),
-        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch_shapes = [
         pltpu.VMEM((2, BP, page_size, row_width), kv_l.dtype),
@@ -345,17 +358,17 @@ def paged_decode_attention(
             "per-token-scale int8 KV on the compiled kernel needs "
             f"page_size % 128 == 0 (Mosaic lane tiling); got {page_size}"
         )
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch_shapes.insert(
             1, pltpu.VMEM((2, BP, R8, page_size), jnp.float32)
         )
         operands.append(kv_scale)
-    # NOTE on operand staging: this XLA toolchain stages every pallas
-    # operand into an S(1) HBM copy per call (weights once per program,
-    # the scatter-updated KV pool once per iteration — visible as async
-    # slice + ConcatBitcast ops in profiles). Passing the pool through as
-    # an aliased output was tried and made it WORSE (extra copy-backs);
-    # the staging is part of the custom-call calling convention here.
+    # NOTE on operand staging: XLA memory-space-assignment stages the pool
+    # operand into S(1) quarter-slices per call regardless of the operand's
+    # memory-space annotation. Passing the pool through as an ALIASED output
+    # was tried (round 3) and made it WORSE — the kernels themselves slowed
+    # 468 -> 632 us/layer with the aliased pass-through, and the S(1) slices
+    # remained. Measured: keep the call single-output.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // SB,),

@@ -58,6 +58,7 @@ class Engine:
         sample_k_cap: int = 1024,
         paged_kernel: Optional[bool] = None,
         devices=None,
+        prefill_impl=None,
     ):
         self.model_cfg = model_cfg or resolve_model_config(model_id)
         self.cfg = engine_cfg or EngineConfig.from_env()
@@ -85,12 +86,19 @@ class Engine:
                 import functools
 
                 from tpusgl.ops.paged_attention import pallas_attention
+                from tpusgl.ops.prefill_attention import pallas_prefill
 
                 attn_impl = functools.partial(
                     pallas_attention,
                     page_size=self.cfg.page_size,
                     pages_per_block=self.cfg.pages_per_block,
                 )
+                if prefill_impl is None:
+                    prefill_impl = functools.partial(
+                        pallas_prefill,
+                        page_size=self.cfg.page_size,
+                        pages_per_block=self.cfg.pages_per_block,
+                    )
                 paged_kernel = True
             else:
                 attn_impl = chunked_attention
@@ -134,6 +142,7 @@ class Engine:
             params, self.model_cfg, self.cfg,
             attn_impl=attn_impl, sample_k_cap=sample_k_cap,
             paged_kernel=self._paged_kernel, mesh=self.mesh,
+            prefill_impl=prefill_impl,
         )
         state = init_state(
             self.model_cfg, self.cfg, kv_dtype=dtype, seed=seed, mesh=self.mesh
@@ -194,13 +203,19 @@ class Engine:
                 if S > cfg.max_context_len:
                     continue
                 Bb = sched._prefill_bb(S)
-                fn = self.steps.get_prefill_jit(False, s)
                 penalty = None if s else i32(Bb, 64)
-                to_lower.append((fn, (
-                    params_av, state_av, i32(Bb), i32(Bb, S), i32(Bb),
-                    i32(Bb), i32(Bb, S), None,
-                    avatar(SamplingArrays.full(Bb)), penalty, None,
-                )))
+                # Both prefill variants: no-prefix, and the has_prefix
+                # program at the smallest prefix bucket (radix hits and
+                # chunked continuations; larger Tp buckets compile on first
+                # use and persist in the compilation cache).
+                Tp = sched._prefix_bucket(1)
+                for prefix in (None, i32(Bb, Tp)):
+                    fn = self.steps.get_prefill_jit(prefix is not None, s)
+                    to_lower.append((fn, (
+                        params_av, state_av, i32(Bb), i32(Bb, S), i32(Bb),
+                        i32(Bb), i32(Bb, S), prefix,
+                        avatar(SamplingArrays.full(Bb)), penalty, None,
+                    )))
             Bb = cfg.decode_bs_buckets[-1]
             windows = {1, cfg.decode_window}
             k = cfg.decode_window
@@ -214,6 +229,18 @@ class Engine:
                     params_av, state_av, i32(Bb), i32(Bb), i32(Bb, K),
                     i32(Bb, cfg.pages_per_seq),
                     avatar(SamplingArrays.full(Bb)), None,
+                )))
+
+        # Sub-page tail copy program (scheduler._prefill_rows).
+        if cfg.page_size > 1:
+            for nb in (1, 2, 4, 8):
+                fn = self.steps._copy_jit.get(nb)
+                if fn is None:
+                    fn = self.steps._make_copy_jit(nb)
+                    self.steps._copy_jit[nb] = fn
+                to_lower.append((fn, (
+                    avatar(sched.state.kv), avatar(sched.state.kv_scale),
+                    i32(nb), i32(nb),
                 )))
 
         lowered = [fn.lower(*args) for fn, args in to_lower]

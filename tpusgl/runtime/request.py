@@ -43,6 +43,13 @@ class Request:
     )
     last_node: Optional[Any] = None  # radix TreeNode
     num_cached_tokens: int = 0
+    # Sub-page prefix reuse (radix_cache.PagedRadixCache.match_tail): the
+    # tree page whose first tail_len rows will be COPIED into this request's
+    # first own page, and the tree node locked until the copy is enqueued.
+    # num_cached_tokens then includes tail_len (not page-aligned).
+    tail_page: Optional[int] = None
+    tail_len: int = 0
+    tail_node: Optional[Any] = None
     constraint_state: Optional[Any] = None
     arrival_t: Optional[float] = None  # perf_counter at enqueue (TTFT metric)
 
@@ -72,6 +79,9 @@ class Request:
         self.prefix_pages = np.empty((0,), np.int32)
         self.last_node = None
         self.num_cached_tokens = 0
+        self.tail_page = None
+        self.tail_len = 0
+        self.tail_node = None
 
     def remaining_new_tokens(self) -> int:
         return max(0, self.max_new_tokens - len(self.output_ids))

@@ -131,6 +131,7 @@ class Scheduler:
             "decode_tokens": 0,
             "prefill_tokens": 0,
             "cached_tokens": 0,
+            "tail_cached_tokens": 0,
             "retractions": 0,
             "ttft_s": [],
             # Roofline accounting (SURVEY.md §6): decode model-forward
@@ -372,11 +373,33 @@ class Scheduler:
         for req in self.waiting:
             # Never let the cache cover the full input so at least one token
             # runs through the model (scheduler.py:264-268).
-            pages, req.last_node = self.tree.match_prefix(req.full_ids[:-1])
+            key = req.full_ids[:-1]
+            pages, req.last_node = self.tree.match_prefix(key)
             req.prefix_pages = pages
             req.num_cached_tokens = len(pages) * self.P
+            req.tail_page, req.tail_len, req.tail_node = None, 0, None
+            if self.P > 1:
+                # Sub-page reuse: the partial tail of the prefix lives in a
+                # shared tree page; its rows are copied into the request's
+                # first own page at prefill (reference radix_cache.py:40-98
+                # token granularity, recovered under page-granular pools).
+                tail = self.tree.match_tail(req.last_node, key, len(pages) * self.P)
+                tail_min = min(self.cfg.tail_min_tokens, max(1, self.P // 2))
+                if tail is not None and tail[1] >= tail_min:
+                    req.tail_page, req.tail_len, req.tail_node = tail
+                    req.num_cached_tokens += req.tail_len
 
-        self.waiting.sort(key=lambda r: r.num_cached_tokens, reverse=True)
+        # Primary: longest cached prefix first (reference scheduler.py:271).
+        # Secondary: extension length, so each admitted [B, S] group packs
+        # requests of similar length — a mixed group pads every row to the
+        # longest member's bucket (measured 57% token fill on the U(100,1024)
+        # bench workload; length-sorted groups push it near 100%).
+        self.waiting.sort(
+            key=lambda r: (
+                r.num_cached_tokens, len(r.full_ids) - r.num_cached_tokens
+            ),
+            reverse=True,
+        )
 
         num_req_available = self.req_pool.available_size()
         r = self.est_new_token_ratio
@@ -396,6 +419,7 @@ class Scheduler:
         group_max_ext = 0
         for req in self.waiting:
             self.tree.inc_lock_ref(req.last_node)
+            self.tree.inc_lock_ref(req.tail_node)
             try:
                 new_tokens = len(req.full_ids) - req.num_cached_tokens
                 total_needed = new_tokens + req.remaining_new_tokens()
@@ -410,6 +434,7 @@ class Scheduler:
                         <= self.cfg.max_context_len
                     ):
                         self.tree.inc_lock_ref(req.last_node)
+                        self.tree.inc_lock_ref(req.tail_node)
                         can_run.append(req)
                     break
                 new_max = max(group_max_ext, new_tokens)
@@ -424,11 +449,13 @@ class Scheduler:
                     rem_tokens -= total_needed
                     group_max_ext = new_max
                     self.tree.inc_lock_ref(req.last_node)  # hold for the run
+                    self.tree.inc_lock_ref(req.tail_node)  # until the copy
                     can_run.append(req)
                 else:
                     break
             finally:
                 self.tree.dec_lock_ref(req.last_node)
+                self.tree.dec_lock_ref(req.tail_node)
         return can_run
 
     def _try_select_decode(self) -> List[Request]:
@@ -509,17 +536,23 @@ class Scheduler:
         P = self.P
         C = self.cfg.max_context_len
         rows = []
+        tail_src: List[int] = []
+        tail_dst: List[int] = []
         for req in batch:
             prompt = req.full_ids
             L = len(prompt)
-            cached = req.num_cached_tokens
+            cached = req.num_cached_tokens  # page-aligned part + tail_len
+            t = req.tail_len
+            aligned = cached - t
             ext = L - cached
             assert ext >= 1
             req_idx = self.req_pool.alloc()
             if req_idx is None:
                 raise RuntimeError("Failed to allocate request slot")
 
-            n_pages = -(-ext // P)
+            # Own pages cover the tail copy + the extension: positions
+            # [aligned, L) all live in request-private pages.
+            n_pages = -(-(t + ext) // P)
             pages = self._alloc_pages_evicting(n_pages)
             if pages is None:
                 avail = (
@@ -528,17 +561,30 @@ class Scheduler:
                 raise RuntimeError(f"Prefill OOM: need {ext}, available {avail}")
 
             row = np.zeros((C,), np.int32)
-            if cached:
-                row[:cached] = self.page_pool.page_slots(req.prefix_pages)
+            if aligned:
+                row[:aligned] = self.page_pool.page_slots(req.prefix_pages)
             span = self.page_pool.page_slots(pages)
-            stop = min(cached + len(span), C)
-            row[cached:stop] = span[: stop - cached]
-            own_slots = span[:ext]
+            stop = min(aligned + len(span), C)
+            row[aligned:stop] = span[: stop - aligned]
+            own_slots = span[t : t + ext]
+            if t:
+                # Sub-page prefix: copy the shared tree page's first t rows
+                # into the own first page (device-side, batched below). The
+                # tree page stays locked until the copy is enqueued.
+                tail_src.append(req.tail_page)
+                tail_dst.append(int(pages[0]))
+                self.metrics["tail_cached_tokens"] += t
             self.req_pool.req_to_token[req_idx] = row
             req.req_pool_idx = req_idx
             req.seq_len = L
             req.is_retracted = False
             rows.append((req, cached, ext, own_slots))
+        if tail_src:
+            self.state = self.steps.copy_pages(self.state, tail_src, tail_dst)
+        for req in batch:
+            if req.tail_node is not None:
+                self.tree.dec_lock_ref(req.tail_node)
+                req.tail_node = None
         return rows
 
     def _prefill_bb(self, s_bucket: int) -> int:

@@ -66,6 +66,7 @@ class StepFunctions:
         sample_k_cap: int = 1024,
         paged_kernel: bool = False,
         mesh=None,
+        prefill_impl: Optional[Callable] = None,
     ):
         self.params = params
         self.model_cfg = model_cfg
@@ -79,6 +80,7 @@ class StepFunctions:
         self.mesh = mesh
         self._decode_jit = {}
         self._prefill_jit = {}
+        self._copy_jit = {}
 
         # Inner pjit around the decoder stack: a decode window calls the
         # forward at `window` identical-aval sites (and every window/sampling
@@ -154,11 +156,84 @@ class StepFunctions:
             )
 
         self._fwd = make_fwd(attn_impl)
-        self._fwd_prefill = make_fwd(extend_attention)
+        # Prefill attention: the Pallas flash prefill/extend kernel on the
+        # paged-kernel path (tpusgl/ops/prefill_attention.py), the jnp
+        # extend_attention elsewhere.
+        self._fwd_prefill = make_fwd(prefill_impl or extend_attention)
         # Built on demand (speculative decoding only).
         self._make_fwd = make_fwd
         self._fwd_verify = None
         self._verify_jit = {}
+
+    # -------------------------------------------------------------- page copy
+
+    def _make_copy_jit(self, n: int):
+        """Jitted whole-page KV copy (sub-page radix reuse,
+        scheduler._prefill_rows): for each (src, dst) page pair, copy the
+        page's pool rows (and int8 scale rows) src -> dst. Only the matched
+        tail rows are meaningful; the rest is overwritten by the prefill's
+        own write_kv before any masked read. Padding pairs are (0, 0) —
+        the dummy page copied onto itself."""
+        P = self.engine_cfg.page_size
+        has_scale = self.engine_cfg.quant.kv_dtype == "int8"
+        L = self.model_cfg.num_hidden_layers
+        mesh = self.mesh
+
+        def body(kv, kv_scale, src, dst):
+            off = jnp.arange(P, dtype=jnp.int32)[None, :]
+            srows = (src[:, None] * P + off).reshape(-1)
+            drows = (dst[:, None] * P + off).reshape(-1)
+            kv = list(kv)
+            if has_scale:
+                scale = list(kv_scale)
+                # local rows per page from local shapes (shard-safe)
+                R8 = scale[0].shape[0] * P // kv[0].shape[0]
+                offs = jnp.arange(R8, dtype=jnp.int32)[None, :]
+                ssr = (src[:, None] * R8 + offs).reshape(-1)
+                sdr = (dst[:, None] * R8 + offs).reshape(-1)
+            for l in range(L):
+                kv[l] = kv[l].at[drows].set(kv[l][srows])
+                if has_scale:
+                    scale[l] = scale[l].at[sdr].set(scale[l][ssr])
+            return tuple(kv), tuple(scale) if has_scale else kv_scale
+
+        if mesh is None:
+            return jax.jit(body, donate_argnums=(0, 1))
+
+        from jax.sharding import PartitionSpec as Pspec
+
+        pool_spec = tuple(Pspec(None, "tp") for _ in range(L))
+        scale_spec = (
+            tuple(Pspec("tp", None) for _ in range(L)) if has_scale else None
+        )
+        rep = Pspec()
+        return jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pool_spec, scale_spec, rep, rep),
+                out_specs=(pool_spec, scale_spec),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+    def copy_pages(self, state: EngineState, src_pages, dst_pages) -> EngineState:
+        """Copy whole KV pages src -> dst across every layer (+ scale pools).
+        Pads the pair list to a pow2 bucket so the executable set stays small."""
+        import numpy as np
+
+        n = len(src_pages)
+        nb = 1 << (n - 1).bit_length() if n > 1 else 1
+        src = np.zeros((nb,), np.int32)
+        dst = np.zeros((nb,), np.int32)
+        src[:n] = src_pages
+        dst[:n] = dst_pages
+        fn = self._copy_jit.get(nb)
+        if fn is None:
+            fn = self._make_copy_jit(nb)
+            self._copy_jit[nb] = fn
+        kv, kv_scale = fn(state.kv, state.kv_scale, src, dst)
+        return state._replace(kv=kv, kv_scale=kv_scale)
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
         """AttnMeta for one decode iteration. kv_len only bounds the jnp
