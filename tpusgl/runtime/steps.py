@@ -81,6 +81,8 @@ class StepFunctions:
         self._decode_jit = {}
         self._prefill_jit = {}
         self._copy_jit = {}
+        self._extract_jit = {}
+        self._inject_jit = {}
 
         # Inner pjit around the decoder stack: a decode window calls the
         # forward at `window` identical-aval sites (and every window/sampling
@@ -233,6 +235,101 @@ class StepFunctions:
             fn = self._make_copy_jit(nb)
             self._copy_jit[nb] = fn
         kv, kv_scale = fn(state.kv, state.kv_scale, src, dst)
+        return state._replace(kv=kv, kv_scale=kv_scale)
+
+    # ------------------------------------------------- host-cache page I/O
+
+    def _make_extract_jit(self, n: int):
+        """Jitted gather of whole pages out of every layer's pool into one
+        compact array pair ([n, L, P, W] pool-dtype, [n, L, R8, P] f32 or
+        None) — the device side of spilling radix-evicted pages to the host
+        KV tier (runtime/host_cache.py). Pure gather: state is NOT donated."""
+        P = self.engine_cfg.page_size
+        has_scale = self.engine_cfg.quant.kv_dtype == "int8"
+        L = self.model_cfg.num_hidden_layers
+
+        def body(kv, kv_scale, pages):
+            off = jnp.arange(P, dtype=jnp.int32)[None, :]
+            rows = pages[:, None] * P + off  # [n, P]
+            data = jnp.stack([kv[l][rows] for l in range(L)], axis=1)
+            sc = None
+            if has_scale:
+                R8 = kv_scale[0].shape[0] * P // kv[0].shape[0]
+                offs = jnp.arange(R8, dtype=jnp.int32)[None, :]
+                srows = pages[:, None] * R8 + offs
+                sc = jnp.stack(
+                    [kv_scale[l][srows] for l in range(L)], axis=1
+                )
+            return data, sc
+
+        return jax.jit(body)
+
+    def _make_inject_jit(self, n: int):
+        """Jitted scatter of host-reloaded pages back into the pools."""
+        P = self.engine_cfg.page_size
+        has_scale = self.engine_cfg.quant.kv_dtype == "int8"
+        L = self.model_cfg.num_hidden_layers
+
+        def body(kv, kv_scale, pages, data, sc):
+            off = jnp.arange(P, dtype=jnp.int32)[None, :]
+            rows = (pages[:, None] * P + off).reshape(-1)
+            kv = list(kv)
+            for l in range(L):
+                kv[l] = kv[l].at[rows].set(
+                    data[:, l].reshape(-1, kv[l].shape[1])
+                )
+            if has_scale:
+                kv_scale = list(kv_scale)
+                R8 = kv_scale[0].shape[0] * P // kv[0].shape[0]
+                offs = jnp.arange(R8, dtype=jnp.int32)[None, :]
+                srows = (pages[:, None] * R8 + offs).reshape(-1)
+                for l in range(L):
+                    kv_scale[l] = kv_scale[l].at[srows].set(
+                        sc[:, l].reshape(-1, kv_scale[l].shape[1])
+                    )
+                kv_scale = tuple(kv_scale)
+            return tuple(kv), kv_scale
+
+        return jax.jit(body, donate_argnums=(0, 1))
+
+    def extract_pages(self, state: EngineState, pages):
+        """Gather `pages` (list of page ids) out of the pools ->
+        (data [n, L, P, W], scales [n, L, R8, P] or None) device arrays."""
+        import numpy as np
+
+        n = len(pages)
+        nb = 1 << (n - 1).bit_length() if n > 1 else 1
+        arr = np.zeros((nb,), np.int32)
+        arr[:n] = pages
+        fn = self._extract_jit.get(nb)
+        if fn is None:
+            fn = self._make_extract_jit(nb)
+            self._extract_jit[nb] = fn
+        data, sc = fn(state.kv, state.kv_scale, arr)
+        return data[:n], (sc[:n] if sc is not None else None)
+
+    def inject_pages(self, state: EngineState, pages, data, sc) -> EngineState:
+        """Scatter host-reloaded page data into freshly allocated pages."""
+        import numpy as np
+
+        n = len(pages)
+        nb = 1 << (n - 1).bit_length() if n > 1 else 1
+        arr = np.zeros((nb,), np.int32)
+        arr[:n] = pages
+        data = np.asarray(data)
+        if data.shape[0] != nb:
+            pad = np.zeros((nb - n,) + data.shape[1:], data.dtype)
+            data = np.concatenate([data, pad], axis=0)
+        if sc is not None:
+            sc = np.asarray(sc)
+            if sc.shape[0] != nb:
+                pad = np.zeros((nb - n,) + sc.shape[1:], sc.dtype)
+                sc = np.concatenate([sc, pad], axis=0)
+        fn = self._inject_jit.get(nb)
+        if fn is None:
+            fn = self._make_inject_jit(nb)
+            self._inject_jit[nb] = fn
+        kv, kv_scale = fn(state.kv, state.kv_scale, arr, data, sc)
         return state._replace(kv=kv, kv_scale=kv_scale)
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
