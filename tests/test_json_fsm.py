@@ -14,17 +14,18 @@ from tpusgl.runtime.json_fsm import (
     JsonConstraintState,
     _can_end,
     _freeze,
-    _step,
+    _step_state,
+    resolve_refs,
 )
 
 
-def accepts(schema, text):
-    stack = (("val", _freeze(schema or {})),)
+def accepts(schema, text, ws=False):
+    state = (((("val", _freeze(resolve_refs(schema or {}))),),))
     for c in text:
-        stack = _step(stack, c)
-        if stack is None:
+        state = _step_state(state, c, ws)
+        if not state:
             return False
-    return _can_end(stack)
+    return _can_end(state)
 
 
 SCHEMA = {
@@ -35,6 +36,7 @@ SCHEMA = {
         "tags": {"type": "array", "items": {"type": "string"}, "maxItems": 2},
         "active": {"type": "boolean"},
     },
+    "required": ["name", "age", "tags", "active"],
 }
 
 
@@ -134,6 +136,197 @@ def test_multichar_tokens_allowed():
     assert 130 in allowed  # '{"' crosses two frames
 
 
+OPT_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "a": {"type": "integer"},
+        "b": {"type": "string"},
+        "c": {"type": "boolean"},
+    },
+    "required": ["b"],
+}
+
+
+@pytest.mark.parametrize(
+    "text,ok",
+    [
+        ('{"a":1,"b":"x","c":true}', True),
+        ('{"b":"x"}', True),                 # optionals skipped
+        ('{"a":1,"b":"x"}', True),           # trailing optional skipped
+        ('{"b":"x","c":false}', True),
+        ('{"a":1,"c":true}', False),         # required b missing
+        ('{}', False),                        # required b missing
+        ('{"b":"x",}', False),               # trailing comma
+        ('{"c":true,"b":"x"}', False),       # order still schema order
+        ('{"a":1,"a":2,"b":"x"}', False),    # no duplicate property
+    ],
+)
+def test_optional_properties(text, ok):
+    assert accepts(OPT_SCHEMA, text) == ok
+
+
+def test_all_optional_empty_object():
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"}}}
+    assert accepts(schema, "{}")
+    assert accepts(schema, '{"a":7}')
+
+
+@pytest.mark.parametrize(
+    "text,ok",
+    [
+        ('{"v":3}', True),
+        ('{"v":"s"}', True),
+        ('{"v":true}', False),
+        ('{"v":[1]}', False),
+    ],
+)
+def test_anyof_fork(text, ok):
+    schema = {
+        "type": "object",
+        "properties": {
+            "v": {"anyOf": [{"type": "integer"}, {"type": "string"}]},
+        },
+        "required": ["v"],
+    }
+    assert accepts(schema, text) == ok
+
+
+def test_oneof_objects():
+    schema = {
+        "oneOf": [
+            {"type": "object", "properties": {"x": {"type": "integer"}},
+             "required": ["x"]},
+            {"type": "object", "properties": {"y": {"type": "string"}},
+             "required": ["y"]},
+        ]
+    }
+    assert accepts(schema, '{"x":1}')
+    assert accepts(schema, '{"y":"s"}')
+    assert not accepts(schema, '{"x":"s"}')
+    assert not accepts(schema, '{"z":1}')
+
+
+@pytest.mark.parametrize(
+    "text,ok",
+    [
+        ('"abc"', True),
+        ('"ab"', False),    # minLength 3
+        ('"abcde"', True),
+        ('"abcdef"', False),  # maxLength 5
+        ('"ab\\nc"', True),   # escape counts as one char
+    ],
+)
+def test_string_length_bounds(text, ok):
+    schema = {"type": "string", "minLength": 3, "maxLength": 5}
+    assert accepts(schema, text) == ok
+
+
+@pytest.mark.parametrize(
+    "text,ok",
+    [
+        ('{ "a" : 1 }', True),
+        ('{\n  "a": 1\n}', True),
+        ('{"a":1}', True),
+        ('{ "a" : 1 ,', False),   # unterminated
+        ('[ 1 , 2 ]', False),     # not an object
+        ('{"a" 1}', False),       # missing colon
+    ],
+)
+def test_whitespace_flag(text, ok):
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    assert accepts(schema, text, ws=True) == ok
+    # canonical mode still rejects whitespace
+    assert not accepts(schema, '{ "a" : 1 }', ws=False)
+
+
+def test_ws_run_capped():
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    assert not accepts(schema, "{" + " " * 40 + '"a":1}', ws=True)
+
+
+def test_ref_resolution():
+    schema = {
+        "type": "object",
+        "properties": {
+            "p": {"$ref": "#/$defs/point"},
+        },
+        "required": ["p"],
+        "$defs": {
+            "point": {
+                "type": "object",
+                "properties": {"x": {"type": "integer"},
+                               "y": {"type": "integer"}},
+                "required": ["x", "y"],
+            }
+        },
+    }
+    assert accepts(schema, '{"p":{"x":1,"y":2}}')
+    assert not accepts(schema, '{"p":{"x":1}}')
+
+
+def test_recursive_ref_capped():
+    schema = {
+        "type": "object",
+        "properties": {"next": {"$ref": "#"}, "v": {"type": "integer"}},
+        "required": ["v"],
+    }
+    # a few levels of nesting parse; the cap just truncates to ANY deeper
+    assert accepts(schema, '{"next":{"v":2},"v":1}')
+
+
+def test_property_based_valid_under_jsonschema():
+    """Random rollouts through the token mask must validate under the real
+    `jsonschema` library (VERDICT r3 #6 acceptance test)."""
+    import random
+
+    import jsonschema
+
+    schemas = [
+        OPT_SCHEMA,
+        {"type": "object",
+         "properties": {
+             "id": {"type": "integer"},
+             "name": {"type": "string", "minLength": 1, "maxLength": 8},
+             "kind": {"enum": ["a", "b"]},
+             "vals": {"type": "array", "items": {"type": "number"},
+                      "minItems": 1, "maxItems": 3},
+         },
+         "required": ["id", "kind"]},
+        {"anyOf": [{"type": "integer"},
+                   {"type": "object",
+                    "properties": {"s": {"type": "string"}},
+                    "required": ["s"]}]},
+    ]
+    tok = CharTokenizer()
+    rng = random.Random(0)
+    for schema in schemas:
+        for trial in range(5):
+            cs = JsonConstraintState(schema, tok)
+            out = []
+            for _ in range(120):
+                allowed = cs.allowed_tokens(out).tolist()
+                assert allowed, f"dead end: {tok.decode(out)!r}"
+                if tok.eos_token_id in allowed and (
+                    rng.random() < 0.5 or len(allowed) == 1
+                ):
+                    break
+                non_eos = [t for t in allowed if t != tok.eos_token_id]
+                # bias toward structural closers so rollouts terminate
+                closers = [t for t in non_eos
+                           if tok.decode([t]) in ('"', "}", "]", ",")]
+                if closers and rng.random() < 0.6:
+                    out.append(rng.choice(closers))
+                else:
+                    out.append(rng.choice(non_eos))
+            else:
+                continue  # didn't terminate; skip validation for this trial
+            doc = json.loads(tok.decode(out))
+            jsonschema.validate(doc, schema)
+
+
 def test_enum_and_const():
     schema = {"type": "object", "properties": {"color": {"enum": ["red", "green"]}}}
     assert accepts(schema, '{"color":"red"}')
@@ -169,7 +362,8 @@ def test_engine_constrained_generation(overlap):
         model_cfg=cfg, engine_cfg=ecfg, params=params, tokenizer=tok,
         dtype=jnp.float32, attn_impl=ref_attention, sample_k_cap=cfg.vocab_size,
     )
-    schema = {"type": "object", "properties": {"age": {"type": "integer"}}}
+    schema = {"type": "object", "properties": {"age": {"type": "integer"}},
+              "required": ["age"]}
     # Sampling (fixed engine PRNG seed -> deterministic) rather than greedy:
     # a random greedy model can lock onto one digit forever (the schema
     # allows unbounded integers), truncating the JSON at max_new_tokens.

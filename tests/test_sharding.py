@@ -287,3 +287,87 @@ def test_72b_int4_tp8_program_lowers():
     # proves the flagship geometry's collectives, layouts, and shardings
     # are all consistent, without 8 real chips or any weight memory.
     lowered.compile()
+
+
+def test_72b_geometry_int4_tp8_executes():
+    """VERDICT r3 #8: EXECUTE (not just lower) the 72B-geometry INT4 tp=8
+    decode path on the 8-virtual-device mesh. Exact Qwen2.5-72B per-layer
+    dims (hidden 8192, intermediate 29568 -> down-proj int8 fallback, 64 q /
+    8 kv heads, head_dim 128) with 2 layers and a cut vocab so random
+    weights fit host RAM; real int4-quantized weights, int8 KV, the Pallas
+    decode kernel (interpret mode) under shard_map tp=8. One prefill and two
+    decode windows run end to end; outputs must be valid token ids and
+    bit-identical across a re-run (deterministic SPMD program)."""
+    import functools
+
+    from tpusgl.config import QuantConfig
+    from tpusgl.loader.safetensors_loader import init_params_streamed
+    from tpusgl.ops.paged_attention import pallas_attention
+    from tpusgl.ops.sampling import SamplingArrays
+    from tpusgl.runtime.state import check_scale_geometry, init_state
+    from tpusgl.runtime.steps import StepFunctions
+
+    cfg = ModelConfig(
+        hidden_size=8192, num_attention_heads=64, num_key_value_heads=8,
+        intermediate_size=29568, num_hidden_layers=2, vocab_size=4096,
+        rms_norm_eps=1e-5, max_position_embeddings=512, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    quant = QuantConfig(weight_dtype="int4", kv_dtype="int8")
+    P = 8
+    ecfg = EngineConfig(
+        max_total_tokens=256, max_requests=4, tp=8, dp=1, page_size=P,
+        pages_per_block=2, quant=quant,
+        decode_bs_buckets=(4,), prefill_len_buckets=(8,), kv_len_bucket=32,
+        decode_window=2,
+    )
+    mesh = make_mesh(dp=1, tp=8)
+    params = init_params_streamed(
+        cfg, jax.random.PRNGKey(7), jnp.bfloat16, quant=quant, mesh=mesh
+    )
+    # int4 where compatible, int8 fallback for the 29568-in down projection
+    assert "w4" in params["layers"][0]["gate_up"]
+    assert "w" in params["layers"][0]["down"]
+    assert params["layers"][0]["down"]["w"].dtype == jnp.int8
+
+    state = init_state(cfg, ecfg, kv_dtype=jnp.bfloat16, mesh=mesh)
+    check_scale_geometry(state, cfg, ecfg)
+    attn = functools.partial(
+        pallas_attention, page_size=P, pages_per_block=2, interpret=True,
+    )
+    steps = StepFunctions(
+        params, cfg, ecfg, attn_impl=attn, paged_kernel=True, mesh=mesh,
+    )
+
+    def run():
+        st = init_state(cfg, ecfg, kv_dtype=jnp.bfloat16, mesh=mesh)
+        S = 8
+        kv_rows = (np.arange(P, dtype=np.int32) + P)[None, :]
+        st, first = steps.prefill(
+            st, np.array([0], np.int32),
+            (np.arange(1, S + 1, dtype=np.int32) % cfg.vocab_size)[None, :],
+            np.array([S], np.int32), np.array([0], np.int32),
+            kv_rows[:, :S].copy(), None, SamplingArrays.full(1),
+            np.full((1, 64), cfg.vocab_size, np.int32), None,
+            simple=True,
+        )
+        B = 4
+        req_indices = np.full((B,), ecfg.max_requests, np.int32)
+        req_indices[0] = 0
+        seq_lens = np.ones((B,), np.int32)
+        seq_lens[0] = S + 1
+        out_loc = np.zeros((B, 2), np.int32)
+        out_loc[0] = [2 * P, 2 * P + 1]
+        page_tbl = np.zeros((B, ecfg.pages_per_seq), np.int32)
+        page_tbl[0, :3] = [1, 2, 2]
+        st, ids = steps.decode(
+            ecfg.max_context_len, 2, st, req_indices, seq_lens, out_loc,
+            page_tbl, SamplingArrays.full(B), None, simple=True,
+        )
+        return int(np.asarray(first)[0]), np.asarray(ids)[:, 0].tolist()
+
+    first1, ids1 = run()
+    first2, ids2 = run()
+    assert 0 <= first1 < cfg.vocab_size
+    assert all(0 <= t < cfg.vocab_size for t in ids1)
+    assert (first1, ids1) == (first2, ids2), "non-deterministic tp=8 int4 run"

@@ -259,6 +259,27 @@ class EngineConfig:
     # single process.
     check_multihost_schedule: bool = False
 
+    # Radix prefix-cache matching. Disabled = every request recomputes its
+    # full prompt (reuse-off baseline for the prefix-heavy bench; inserts
+    # still happen so pool accounting is identical, matches just never hit).
+    radix_enabled: bool = True
+
+    # Preallocate a request's ENTIRE KV page row (prompt + max_new_tokens) as
+    # one contiguous run at prefill when the pool can afford it (admission
+    # already budgets the full need, _try_select_prefill's total_needed).
+    # Decode then never allocates mid-run and every KV block the Pallas
+    # kernel streams is physically contiguous -> single-DMA fast path
+    # (paged_attention.block_contig). Falls back to incremental allocation
+    # under pool pressure. Off by default: oversubscribed pools trade
+    # concurrency for contiguity.
+    prealloc_decode_pages: bool = False
+
+    # Host-RAM KV offload tier (reference roadmap "multi-level cache",
+    # /root/reference/README.md:54; runtime/host_cache.py): radix-evicted
+    # pages spill to a byte-bounded host LRU and are re-injected on a later
+    # prefix match instead of being recomputed. 0 disables.
+    host_cache_bytes: int = 0
+
     quant: QuantConfig = field(default_factory=QuantConfig)
     # Route int8/int4 linears through the Pallas fused dequant+matmul kernel
     # (ops/quant_matmul.py) on TPU instead of the jnp dequant expression.

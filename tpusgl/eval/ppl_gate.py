@@ -11,15 +11,18 @@ Two gate criteria, stated in the artifact:
 - **--corpus (real text + real checkpoint): the BASELINE.md ABSOLUTE gates**
   (delta <= 0.1 PPL at INT8, <= 0.3 at INT4). These are the acceptance
   numbers; they are meaningful at trained-model PPL scales (~5-15).
-- **no --corpus (zero-egress fallback): RELATIVE gate on INT8 only.**
+- **no --corpus (zero-egress fallback): RELATIVE gates.**
   The corpus is model-generated text from the bf16 model itself and the
   weights are random-init, so bf16 PPL sits at the random-model entropy
   (~9e4 at a 152k vocab) where an absolute 0.1 delta is unsatisfiable noise.
   INT8 is gated at <= 1% relative PPL delta (the absolute gate restated at a
-  trained-model PPL of 10: 0.1/10). INT4 is EVALUATED AND REPORTED but not
-  gated: group-int4 damage on gaussian random weights (measured ~+1.5%
-  log-PPL) reflects the unstructured worst case, not trained checkpoints —
-  its gate binds only to --corpus runs.
+  trained-model PPL of 10: 0.1/10). INT4 is gated at <= 25% relative — a
+  REGRESSION bound, not a quality claim: group-int4 on gaussian random
+  weights is the unstructured worst case and measured +19.2% relative
+  (round 3); the gate catches implementation regressions (broken packing /
+  scales / tp grouping all blow past 2x) while the BASELINE.md <= 0.3
+  absolute quality gate still binds only to --corpus runs on trained
+  checkpoints (VERDICT r3 #8).
 
 Quantized evaluation reuses the SAME bf16 random weights quantized in place
 (loader/safetensors_loader.quantize_params), so the deltas isolate
@@ -34,7 +37,10 @@ import sys
 
 
 ABS_GATES = {"int8": 0.1, "int4": 0.3}   # real-corpus absolute PPL deltas
-REL_GATES = {"int8": 0.01}               # synthetic-corpus relative deltas
+# Synthetic-corpus relative deltas. int4's 0.25 is a regression bound
+# calibrated to the measured unstructured worst case (+0.192 on random
+# gaussian weights, round 3) — see the module docstring.
+REL_GATES = {"int8": 0.01, "int4": 0.25}
 
 
 def main() -> None:
@@ -105,8 +111,9 @@ def main() -> None:
                    "absolute PPL delta vs bf16 (BASELINE.md gates)"
                    if real_corpus else
                    "relative PPL delta vs bf16; int8 gated at <= 1% "
-                   "(= 0.1 abs at PPL 10); int4 reported, gated only on "
-                   "--corpus runs (see module docstring)"
+                   "(= 0.1 abs at PPL 10); int4 gated at <= 25% (regression "
+                   "bound vs the measured unstructured worst case; the "
+                   "BASELINE.md 0.3 abs quality gate binds to --corpus runs)"
                ),
                "windows": int(windows.shape[0]), "window": int(windows.shape[1])}
     ppl_bf16 = compute_ppl(params, cfg, windows, batch_size=args.batch_size)

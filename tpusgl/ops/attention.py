@@ -121,17 +121,45 @@ def write_kv(
         absmax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
         scale = absmax / 127.0 + 1e-12  # [N, Hkv, 2, 1]
         q = jnp.clip(jnp.round(rf / scale), -127, 127).astype(jnp.int8)
-        # unique_indices: every real (token, head, k/v) target is distinct;
-        # only padding tokens collide on the dummy page-0 rows, whose values
-        # are never read (kv_len masks them) — declaring uniqueness lets XLA
-        # skip the slow duplicate-combining scatter path.
+        # NOTE unique_indices: every real (token, head, k/v) target is
+        # distinct; padding tokens all carry slot 0 and collide on the dummy
+        # page-0 rows. Strictly that makes the indices non-unique and the
+        # page-0 result undefined per XLA scatter semantics (ADVICE r3) —
+        # accepted deliberately: page 0 is the reserved dummy page, written
+        # only by padding and never read unmasked, and the flag keeps XLA off
+        # the slow duplicate-combining scatter path.
         buf = buf.at[flat_loc].set(
             q.reshape(-1, Hkv * 2 * D), mode="drop", unique_indices=True
         )
-        srow = scale_row(flat_loc // P, Hkv, R8)  # [N, Hkv, 2]
-        sc = sc.at[srow, (flat_loc % P)[:, None, None]].set(
-            scale[..., 0].astype(jnp.float32), mode="drop", unique_indices=True
-        )
+        sval = scale[..., 0].astype(jnp.float32)  # [N, Hkv, 2]
+        if S == 1:
+            # Decode step: one token per REQUEST, so every real token sits in
+            # a distinct page (pages are request-private). Write scales as a
+            # gather-merge-scatter of whole [R8, P] page blocks — a row-block
+            # scatter XLA lowers ~4x faster than the elementwise 2D scatter
+            # (measured 101 -> 25 us standalone at the 7B decode geometry,
+            # VERDICT r3 #5a). Page-0 collisions: padding only (see above).
+            N = flat_loc.shape[0]
+            pid = flat_loc // P
+            off = flat_loc % P
+            sc3 = sc.reshape(-1, R8, P)
+            blocks = sc3[pid]  # [N, R8, P]
+            upd = jnp.zeros((N, R8), jnp.float32)
+            upd = upd.at[:, : 2 * Hkv].set(sval.reshape(N, 2 * Hkv))
+            colmask = (
+                jax.lax.broadcasted_iota(jnp.int32, (N, 1, P), 2)
+                == off[:, None, None]
+            )
+            merged = jnp.where(colmask, upd[:, :, None], blocks)
+            sc3 = sc3.at[pid].set(merged, mode="drop")
+            sc = sc3.reshape(sc.shape)
+        else:
+            # Prefill / verify: multiple tokens share pages — elementwise
+            # scatter (block merge would lose sibling tokens' columns).
+            srow = scale_row(flat_loc // P, Hkv, R8)  # [N, Hkv, 2]
+            sc = sc.at[srow, (flat_loc % P)[:, None, None]].set(
+                sval, mode="drop", unique_indices=True
+            )
         return (buf, sc)
     return kv_l.at[flat_loc].set(
         rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop",

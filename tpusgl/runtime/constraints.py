@@ -29,7 +29,7 @@ class ConstraintState:
 
 
 def make_constraint_state(
-    schema: Optional[Dict[str, Any]], tokenizer
+    schema: Optional[Dict[str, Any]], tokenizer, whitespace: bool = False
 ) -> Optional[ConstraintState]:
     if schema is None:
         return None
@@ -37,4 +37,4 @@ def make_constraint_state(
         raise ValueError("JSON-schema constrained decoding requires a tokenizer")
     from tpusgl.runtime.json_fsm import JsonConstraintState
 
-    return JsonConstraintState(schema, tokenizer)
+    return JsonConstraintState(schema, tokenizer, whitespace=whitespace)

@@ -2,14 +2,16 @@
 "multi-level cache", /root/reference/README.md:54).
 
 Device HBM holds the hot radix-cached KV pages; when the radix tree LRU-
-evicts a page under memory pressure, its KV rows (all layers, plus the int8
-per-token scale rows) are gathered into one compact device array and copied
-to host RAM ASYNCHRONOUSLY (`copy_to_host_async` — eviction never blocks the
-serving loop; the device-side gather is ordered before any later reuse of the
-freed page, so the snapshot is consistent). On a later prefix match, pages
-found in the host store are injected into freshly allocated device pages and
-re-inserted into the radix tree — the scheduler's normal cached-prefix flow
-then applies unchanged (tree ownership, locks, dedup-on-finish).
+evicts a node under memory pressure, its KV rows (all layers, plus the int8
+per-token scale rows) are gathered into one compact device array
+(steps.extract_pages) and copied to host RAM in one batched D2H per node
+(scheduler._spill_node — eviction is already the slow path; the gather is
+enqueued before any later reuse of the freed pages, so the snapshot is
+consistent). On a later prefix match, pages found in the host store are
+injected into freshly allocated device pages (steps.inject_pages) and
+re-inserted into the radix tree (scheduler._try_inject_host_pages) — the
+normal cached-prefix flow then applies unchanged (tree ownership, locks,
+dedup-on-finish).
 
 Keying: a page is identified by its page_size-token chunk PLUS the full
 token prefix before it (hashed) — two pages holding the same 128 tokens at
@@ -33,11 +35,8 @@ import numpy as np
 class HostKVCache:
     """Byte-bounded LRU store of spilled KV pages.
 
-    Entries: key -> (kv [L, P, W] storage-dtype ndarray-like,
-                     scales [L, R8, P] f32 or None).
-    Values may be stored as jax device-backed arrays with an in-flight
-    async D2H copy; `np.asarray` at reload time resolves them (by then the
-    copy has almost always landed)."""
+    Entries: key -> (kv [L, P, W] storage-dtype numpy array,
+                     scales [L, R8, P] f32 numpy array or None)."""
 
     def __init__(self, capacity_bytes: int):
         self.capacity = int(capacity_bytes)

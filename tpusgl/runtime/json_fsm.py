@@ -4,20 +4,26 @@ The reference delegates to lm-format-enforcer's TokenEnforcer
 (/root/reference/constraints.py:19-42); that package is unavailable here, so
 the same capability is implemented from scratch:
 
-1. a character-level pushdown parser for schema-constrained JSON — an
-   immutable stack of frames, each exposing its allowed next characters,
+1. a character-level pushdown parser for schema-constrained JSON — the parser
+   state is a SET of frame stacks (an NFA of pushdown automata: `anyOf` /
+   `oneOf` fork the stack, dead branches drop out),
 2. a prefix trie over the tokenizer vocabulary,
 3. allowed-token sets computed by walking the trie against the parser (a
-   token is allowed iff all its characters are accepted), memoized per
-   distinct parser state so recurring states (e.g. "inside a free string")
-   pay the walk once.
+   token is allowed iff all its characters are accepted by at least one
+   branch), memoized per distinct parser state so recurring states (e.g.
+   "inside a free string") pay the walk once.
 
-Deliberate subset vs full JSON Schema (canonical-output enforcement):
-- no whitespace between JSON tokens,
-- object properties are emitted in schema `properties` order, all present,
-- supported keywords: type (object/array/string/integer/number/boolean/null),
-  properties, items, enum, const, minItems/maxItems; anything else (or a
-  missing type) means "any JSON value".
+Supported JSON-Schema keywords (toward lm-format-enforcer parity,
+/root/reference/constraints.py:22-23): type (object/array/string/integer/
+number/boolean/null), properties, required (non-required properties are
+OPTIONAL and may be skipped; emission order still follows `properties`
+order), items, enum, const, minItems/maxItems, minLength/maxLength (strings),
+anyOf/oneOf (branch forking), $ref to local "#/..." pointers (inlined at
+init, recursion capped). Inter-token whitespace is accepted when
+`whitespace=True` (runs capped at 12 chars); the default remains canonical
+single-spacing-free output. Unknown keywords (or a missing type) mean "any
+JSON value". Not supported: allOf, string `pattern`, numeric ranges,
+additionalProperties emission (only declared properties are generated).
 """
 
 from __future__ import annotations
@@ -34,11 +40,54 @@ _STRING_CHARS = "".join(
     chr(c) for c in range(0x20, 0x10000) if chr(c) not in ('"', "\\")
 )
 # For allowed-char sets we only enumerate ASCII; non-ASCII is accepted via the
-# `_STR_ANY` wildcard marker handled by the trie walk.
+# `_STRING_CHARS` membership test in the trie walk.
 _STRING_ASCII = "".join(chr(c) for c in range(0x20, 0x7F) if chr(c) not in ('"', "\\"))
 _ESCAPABLE = '"\\/bfnrt'
+_WS = " \t\n\r"
+_MAX_WS_RUN = 12
 
 ANY = ()  # frozen "any value" schema
+
+
+def resolve_refs(schema: Any, max_depth: int = 6) -> Any:
+    """Inline local "#/..." $ref pointers (lm-format-enforcer resolves these
+    via JsonSchemaParser). Recursive schemas are truncated to "any value"
+    past `max_depth` inlinings of the same pointer."""
+    if not isinstance(schema, dict):
+        return schema
+    root = schema
+
+    def deref(pointer: str):
+        node: Any = root
+        for part in pointer.lstrip("#/").split("/"):
+            if not part:
+                continue
+            part = part.replace("~1", "/").replace("~0", "~")
+            if isinstance(node, list):
+                node = node[int(part)]
+            else:
+                node = node[part]
+        return node
+
+    def walk(node: Any, depths: Dict[str, int]) -> Any:
+        if isinstance(node, list):
+            return [walk(v, depths) for v in node]
+        if not isinstance(node, dict):
+            return node
+        ref = node.get("$ref")
+        if isinstance(ref, str) and ref.startswith("#"):
+            d = depths.get(ref, 0)
+            if d >= max_depth:
+                return {}
+            try:
+                target = deref(ref)
+            except (KeyError, IndexError, ValueError):
+                return {}
+            return walk(target, {**depths, ref: d + 1})
+        return {k: walk(v, depths) for k, v in node.items()
+                if k not in ("$defs", "definitions")}
+
+    return walk(root, {})
 
 
 def _freeze(obj):
@@ -61,21 +110,49 @@ def _thaw(fz):
     return fz
 
 
-# A parser state is a tuple of frames, top of stack LAST. Frame kinds:
+# A parser state is a TUPLE OF STACKS; each stack is a tuple of frames, top
+# LAST. Frame kinds:
 #   ("lit", s)                     emit literal string s, then pop
+#   ("litws", s)                   same, but whitespace may precede each char
 #   ("val", frozen_schema)         a value; expands lazily on first char
-#   ("str_body",)                  inside '"..."'; '"' pops
-#   ("str_escape",)                after '\'; escapable char pops to str_body
+#   ("str_body", n, lo, hi)        inside '"..."'; n chars so far; '"' pops
+#                                  (iff n >= lo); chars allowed iff n < hi
+#   ("str_escape", n, lo, hi)      after '\'; escapable char -> str_body n+1
 #   ("num", text, int_only)        number in progress (may end implicitly)
 #   ("enum", options, acc)         one of several literal strings
-#   ("obj_after", props, idx)      after a property value: ',' next prop / '}'
+#   ("objnext", props, req, idx, after_comma)
+#                                  choosing the next property (index >= idx;
+#                                  optional ones skippable); '}' closes iff
+#                                  no required prop remains and not just
+#                                  after a comma
+#   ("objkey", props, req, cands, acc)
+#                                  matching a '"key"' among candidate prop
+#                                  indices; on completion emits ':' + value
+#   ("obj_after", props, req, nxt) after a property value: ',' / '}'
 #   ("arr_first", items, lo, hi)   after '[': ']' or first item
 #   ("arr_after", items, n, lo, hi) after an item: ',' next / ']'
 #   ("anyobj_first",)              after '{' of a free object
 #   ("anyobj_key",)                expect ':' after a free key
 #   ("anyobj_after",)              after a free value: ',' / '}'
+#   ("ws", n)                      inside a whitespace run of length n
 
 Stack = Tuple[Tuple, ...]
+State = Tuple[Stack, ...]  # NFA: set of live stacks
+
+# Frames where inter-token whitespace may appear (whitespace=True): every
+# between-JSON-token position.
+_WS_FRAMES = frozenset((
+    "val", "litws", "objnext", "obj_after", "arr_first", "arr_after",
+    "anyobj_first", "anyobj_key", "anyobj_after",
+))
+
+
+def _schema_branches(s: dict) -> Optional[List[Any]]:
+    """anyOf/oneOf branch list, or None."""
+    br = s.get("anyOf") or s.get("oneOf")
+    if isinstance(br, list) and br:
+        return br
+    return None
 
 
 def _val_first_chars(schema) -> str:
@@ -83,6 +160,9 @@ def _val_first_chars(schema) -> str:
     s = _thaw(schema) if isinstance(schema, tuple) else schema
     if not isinstance(s, dict) or not s:
         return '{["-0123456789tfn'
+    br = _schema_branches(s)
+    if br is not None:
+        return "".join({c for sub in br for c in _val_first_chars(sub)})
     if "const" in s:
         return json.dumps(s["const"])[0]
     if "enum" in s:
@@ -103,11 +183,41 @@ def _val_first_chars(schema) -> str:
     return '{["-0123456789tfn'
 
 
-def _expand_val(schema, c: str, below: Stack) -> Optional[Stack]:
-    """Expand a ("val", schema) frame on first char `c`; returns new stack."""
+def _req_tuple(s: dict, props) -> Tuple[bool, ...]:
+    req = s.get("required")
+    if not isinstance(req, list):
+        req = []
+    names = set(req)
+    return tuple(k in names for k, _ in props)
+
+
+def _obj_can_close(props, req, idx: int) -> bool:
+    """True when every property at index >= idx is optional."""
+    return not any(req[i] for i in range(idx, len(props)))
+
+
+def _obj_candidates(props, req, idx: int) -> Tuple[int, ...]:
+    """Property indices that may legally be emitted next: each idx' >= idx
+    whose predecessors in [idx, idx') are all optional."""
+    out = []
+    for i in range(idx, len(props)):
+        out.append(i)
+        if req[i]:
+            break
+    return tuple(out)
+
+
+def _expand_val(schema, c: str, below: Stack) -> List[Stack]:
+    """Expand a ("val", schema) frame on first char `c`; returns live stacks."""
     s = _thaw(schema) if isinstance(schema, tuple) else schema
     if not isinstance(s, dict):
         s = {}
+    br = _schema_branches(s)
+    if br is not None:
+        out: List[Stack] = []
+        for sub in br:
+            out.extend(_expand_val(_freeze(sub), c, below))
+        return out
     if "const" in s:
         return _step(below + (("lit", json.dumps(s["const"])),), c)
     if "enum" in s:
@@ -116,52 +226,50 @@ def _expand_val(schema, c: str, below: Stack) -> Optional[Stack]:
     t = s.get("type")
     if t == "object" or (t is None and "properties" in s):
         if c != "{":
-            return None
+            return []
         props = tuple((k, _freeze(v)) for k, v in (s.get("properties") or {}).items())
         if not props:
-            return below + (("lit", "}"),)
-        key, sch = props[0]
-        return below + (
-            ("obj_after", props, 0),
-            ("val", sch),
-            ("lit", json.dumps(key) + ":"),
-        )
+            return [below + (("lit", "}"),)]
+        req = _req_tuple(s, props)
+        return [below + (("objnext", props, req, 0, False),)]
     if t == "array":
         if c != "[":
-            return None
+            return []
         items = _freeze(s.get("items", {}))
         lo = int(s.get("minItems", 0))
         hi = s.get("maxItems")
-        return below + (("arr_first", items, lo, None if hi is None else int(hi)),)
+        return [below + (("arr_first", items, lo, None if hi is None else int(hi)),)]
     if t == "string":
         if c != '"':
-            return None
-        return below + (("str_body",),)
+            return []
+        lo = int(s.get("minLength", 0))
+        hi = s.get("maxLength")
+        return [below + (("str_body", 0, lo, None if hi is None else int(hi)),)]
     if t in ("integer", "number"):
         int_only = t == "integer"
         if c == "-" or c in _DIGITS:
-            return below + (("num", c, int_only),)
-        return None
+            return [below + (("num", c, int_only),)]
+        return []
     if t == "boolean":
         return _step(below + (("enum", ("false", "true"), ""),), c)
     if t == "null":
         return _step(below + (("lit", "null"),), c)
     # any value
     if c == "{":
-        return below + (("anyobj_first",),)
+        return [below + (("anyobj_first",),)]
     if c == "[":
-        return below + (("arr_first", ANY, 0, None),)
+        return [below + (("arr_first", ANY, 0, None),)]
     if c == '"':
-        return below + (("str_body",),)
+        return [below + (("str_body", 0, 0, None),)]
     if c == "-" or c in _DIGITS:
-        return below + (("num", c, False),)
+        return [below + (("num", c, False),)]
     if c == "t":
-        return below + (("lit", "rue"),)
+        return [below + (("lit", "rue"),)]
     if c == "f":
-        return below + (("lit", "alse"),)
+        return [below + (("lit", "alse"),)]
     if c == "n":
-        return below + (("lit", "ull"),)
-    return None
+        return [below + (("lit", "ull"),)]
+    return []
 
 
 def _num_complete(text: str) -> bool:
@@ -189,14 +297,22 @@ def _num_next_chars(text: str, int_only: bool) -> str:
     return out
 
 
+def _key_lit(key: str) -> str:
+    return json.dumps(key)
+
+
 def _frame_allowed(frame: Tuple) -> str:
     kind = frame[0]
-    if kind == "lit":
+    if kind in ("lit", "litws"):
         return frame[1][0]
     if kind == "val":
         return _val_first_chars(frame[1])
     if kind == "str_body":
-        return _STRING_ASCII + '"\\'
+        _, n, lo, hi = frame
+        out = '"' if n >= lo else ""
+        if hi is None or n < hi:
+            out += _STRING_ASCII + "\\"
+        return out
     if kind == "str_escape":
         return _ESCAPABLE
     if kind == "num":
@@ -204,9 +320,26 @@ def _frame_allowed(frame: Tuple) -> str:
     if kind == "enum":
         opts, acc = frame[1], frame[2]
         return "".join({o[len(acc)] for o in opts if o.startswith(acc) and len(o) > len(acc)})
+    if kind == "objnext":
+        _, props, req, idx, after_comma = frame
+        out = '"' if idx < len(props) else ""
+        if not after_comma and _obj_can_close(props, req, idx):
+            out += "}"
+        return out
+    if kind == "objkey":
+        _, props, req, cands, acc = frame
+        chars = set()
+        for ci in cands:
+            t = _key_lit(props[ci][0])
+            if t.startswith(acc) and len(t) > len(acc):
+                chars.add(t[len(acc)])
+        return "".join(chars)
     if kind == "obj_after":
-        props, idx = frame[1], frame[2]
-        return "," if idx + 1 < len(props) else "}"
+        _, props, req, nxt = frame
+        out = "," if nxt < len(props) else ""
+        if _obj_can_close(props, req, nxt):
+            out += "}"
+        return out
     if kind == "arr_first":
         _, items, lo, hi = frame
         out = _val_first_chars(items) if hi != 0 else ""
@@ -227,126 +360,223 @@ def _frame_allowed(frame: Tuple) -> str:
         return ":"
     if kind == "anyobj_after":
         return ",}"
+    if kind == "ws":
+        return ""  # handled by the ws machinery; never queried directly
     raise AssertionError(f"unknown frame {kind}")
 
 
-def _step(stack: Stack, c: str) -> Optional[Stack]:
+def _step(stack: Stack, c: str) -> List[Stack]:
+    """Advance one stack by one char; returns the list of successor stacks
+    (empty = dead branch; >1 only through anyOf/oneOf expansion)."""
     if not stack:
-        return None
+        return []
     top = stack[-1]
     below = stack[:-1]
     kind = top[0]
 
-    if kind == "lit":
+    if kind in ("lit", "litws"):
         text = top[1]
         if not text.startswith(c):
-            return None
-        return below if len(text) == 1 else below + (("lit", text[1:]),)
+            return []
+        return [below] if len(text) == 1 else [below + ((kind, text[1:]),)]
 
     if kind == "val":
         return _expand_val(top[1], c, below)
 
     if kind == "str_body":
+        _, n, lo, hi = top
         if c == '"':
-            return below
+            return [below] if n >= lo else []
+        if hi is not None and n >= hi:
+            return []
         if c == "\\":
-            return stack + (("str_escape",),)
+            return [below + (("str_body", n, lo, hi), ("str_escape", 0, 0, 0))]
         if c in _STRING_CHARS:
-            return stack
-        return None
+            return [below + (("str_body", n + 1, lo, hi),)]
+        return []
 
     if kind == "str_escape":
-        return below if c in _ESCAPABLE else None  # below top is str_body
+        if c not in _ESCAPABLE:
+            return []
+        # below top is str_body (n, lo, hi): the escape counts as one char
+        body = below[-1]
+        assert body[0] == "str_body", body
+        _, n, lo, hi = body
+        if hi is not None and n >= hi:
+            return []
+        return [below[:-1] + (("str_body", n + 1, lo, hi),)]
 
     if kind == "num":
         text, int_only = top[1], top[2]
         if c in _num_next_chars(text, int_only):
-            return below + (("num", text + c, int_only),)
+            return [below + (("num", text + c, int_only),)]
         if _num_complete(text):
             return _step(below, c)  # number ends; frame below consumes c
-        return None
+        return []
 
     if kind == "enum":
         opts, acc = top[1], top[2]
         new_acc = acc + c
         viable = [o for o in opts if o.startswith(new_acc)]
         if not viable:
-            return None
+            return []
         if new_acc in viable:
-            return below  # JSON scalar literals are prefix-free
-        return below + (("enum", opts, new_acc),)
+            return [below]  # JSON scalar literals are prefix-free
+        return [below + (("enum", opts, new_acc),)]
+
+    if kind == "objnext":
+        _, props, req, idx, after_comma = top
+        if c == '"' and idx < len(props):
+            cands = _obj_candidates(props, req, idx)
+            return [below + (("objkey", props, req, cands, '"'),)]
+        if c == "}" and not after_comma and _obj_can_close(props, req, idx):
+            return [below]
+        return []
+
+    if kind == "objkey":
+        _, props, req, cands, acc = top
+        new_acc = acc + c
+        out: List[Stack] = []
+        viable = []
+        for ci in cands:
+            t = _key_lit(props[ci][0])
+            if t == new_acc:
+                # full key matched (encoded keys are prefix-free): emit
+                # ':' (ws-tolerant) then the value.
+                out.append(below + (
+                    ("obj_after", props, req, ci + 1),
+                    ("val", props[ci][1]),
+                    ("litws", ":"),
+                ))
+            elif t.startswith(new_acc):
+                viable.append(ci)
+        if viable:
+            out.append(below + (("objkey", props, req, tuple(viable), new_acc),))
+        return out
 
     if kind == "obj_after":
-        props, idx = top[1], top[2]
-        if c == "," and idx + 1 < len(props):
-            key, sch = props[idx + 1]
-            return below + (
-                ("obj_after", props, idx + 1),
-                ("val", sch),
-                ("lit", json.dumps(key) + ":"),
-            )
-        if c == "}" and idx + 1 >= len(props):
-            return below
-        return None
+        _, props, req, nxt = top
+        if c == "," and nxt < len(props):
+            return [below + (("objnext", props, req, nxt, True),)]
+        if c == "}" and _obj_can_close(props, req, nxt):
+            return [below]
+        return []
 
     if kind == "arr_first":
         _, items, lo, hi = top
         if c == "]" and lo == 0:
-            return below
+            return [below]
         if hi == 0:
-            return None
+            return []
         ns = below + (("arr_after", items, 1, lo, hi), ("val", items))
         return _step(ns, c)
 
     if kind == "arr_after":
         _, items, n, lo, hi = top
         if c == "]" and n >= lo:
-            return below
+            return [below]
         if c == "," and (hi is None or n < hi):
-            return below + (("arr_after", items, n + 1, lo, hi), ("val", items))
-        return None
+            return [below + (("arr_after", items, n + 1, lo, hi), ("val", items))]
+        return []
 
     if kind == "anyobj_first":
         if c == "}":
-            return below
+            return [below]
         if c == '"':
-            return below + (("anyobj_key",), ("str_body",))
-        return None
+            return [below + (("anyobj_key",), ("str_body", 0, 0, None))]
+        return []
 
     if kind == "anyobj_key":
         if c == ":":
-            return below + (("anyobj_after",), ("val", ANY))
-        return None
+            return [below + (("anyobj_after",), ("val", ANY))]
+        return []
 
     if kind == "anyobj_after":
         if c == "}":
-            return below
+            return [below]
         if c == ",":
             # next free key: opening quote, then the key string
-            return below + (("anyobj_key",), ("str_body",), ("lit", '"'))
-        return None
+            return [below + (("anyobj_key",), ("str_body", 0, 0, None), ("lit", '"'))]
+        return []
 
     raise AssertionError(f"unknown frame {kind}")
+
+
+def _ws_ok(stack: Stack) -> bool:
+    """May a whitespace char appear here (between JSON tokens)?"""
+    if not stack:
+        return False
+    top = stack[-1]
+    if top[0] == "ws":
+        return top[1] < _MAX_WS_RUN
+    if top[0] == "num":
+        # a COMPLETE number may be followed by inter-token whitespace
+        return _num_complete(top[1]) and _ws_ok(stack[:-1])
+    return top[0] in _WS_FRAMES
+
+
+def _step_ws(stack: Stack, c: str) -> List[Stack]:
+    """Step with whitespace tolerance: ws chars self-loop (capped run) at
+    between-token positions; other chars pop any ws frame first."""
+    if c in _WS:
+        if not _ws_ok(stack):
+            return []
+        top = stack[-1]
+        if top[0] == "ws":
+            return [stack[:-1] + (("ws", top[1] + 1),)]
+        if top[0] == "num":
+            # terminate the number, then open a ws run
+            return [stack[:-1] + (("ws", 1),)]
+        return [stack + (("ws", 1),)]
+    if stack and stack[-1][0] == "ws":
+        stack = stack[:-1]
+    return _step(stack, c)
+
+
+def _step_state(state: State, c: str, ws: bool) -> State:
+    out: List[Stack] = []
+    seen = set()
+    for stack in state:
+        for ns in (_step_ws(stack, c) if ws else _step(stack, c)):
+            if ns not in seen:
+                seen.add(ns)
+                out.append(ns)
+    return tuple(out)
 
 
 def _allowed_chars(stack: Stack) -> str:
     if not stack:
         return ""
     top = stack[-1]
+    if top[0] == "ws":
+        return _allowed_chars(stack[:-1])
     chars = _frame_allowed(top)
     if top[0] == "num" and _num_complete(top[1]):
         chars += _allowed_chars(stack[:-1])
     return chars
 
 
-def _can_end(stack: Stack) -> bool:
+def _allowed_state(state: State, ws: bool) -> str:
+    chars = set()
+    for stack in state:
+        chars.update(_allowed_chars(stack))
+        if ws and _ws_ok(stack):
+            chars.update(_WS)
+    return "".join(chars)
+
+
+def _stack_can_end(stack: Stack) -> bool:
     while stack:
         top = stack[-1]
-        if top[0] == "num" and _num_complete(top[1]):
+        if top[0] == "ws" or (top[0] == "num" and _num_complete(top[1])):
             stack = stack[:-1]
             continue
         return False
     return True
+
+
+def _can_end(state: State) -> bool:
+    return any(_stack_can_end(s) for s in state)
 
 
 # ------------------------------------------------------------------ tokenizer
@@ -391,82 +621,84 @@ class JsonConstraintState(ConstraintState):
 
     _trie_cache: Dict[int, TokenTrie] = {}
 
-    def __init__(self, schema: Dict[str, Any], tokenizer):
+    def __init__(self, schema: Dict[str, Any], tokenizer, whitespace: bool = False):
         self.tokenizer = tokenizer
         self.eos_id = getattr(tokenizer, "eos_token_id", None)
+        self.whitespace = whitespace
         key = id(tokenizer)
         trie = self._trie_cache.get(key)
         if trie is None:
             trie = self._trie_cache[key] = TokenTrie.from_tokenizer(tokenizer)
         self.trie = trie
-        self.root_stack: Stack = (("val", _freeze(schema or {})),)
-        # prefix cache: committed output ids -> parser stack
+        resolved = resolve_refs(schema or {})
+        self.root_state: State = ((("val", _freeze(resolved)),),)
+        # prefix cache: committed output ids -> parser state
         self._prefix_ids: Tuple[int, ...] = ()
-        self._prefix_stack: Optional[Stack] = self.root_stack
-        self._mask_cache: Dict[Stack, np.ndarray] = {}
+        self._prefix_state: State = self.root_state
+        self._mask_cache: Dict[State, np.ndarray] = {}
 
     def reset(self) -> None:
         self._prefix_ids = ()
-        self._prefix_stack = self.root_stack
+        self._prefix_state = self.root_state
 
-    def _advance_text(self, stack: Optional[Stack], text: str) -> Optional[Stack]:
+    def _advance_text(self, state: State, text: str) -> State:
         for ch in text:
-            if stack is None:
-                return None
-            stack = _step(stack, ch)
-        return stack
+            if not state:
+                return ()
+            state = _step_state(state, ch, self.whitespace)
+        return state
 
-    def _stack_for(self, output_ids: Sequence[int]) -> Optional[Stack]:
+    def _state_for(self, output_ids: Sequence[int]) -> State:
         ids = tuple(int(t) for t in output_ids)
         if ids[: len(self._prefix_ids)] == self._prefix_ids:
             new_ids = ids[len(self._prefix_ids) :]
         else:
             self.reset()
             new_ids = ids
-        stack = self._prefix_stack
+        state = self._prefix_state
         if new_ids:
             text = self.tokenizer.decode(list(new_ids))
             prev = self.tokenizer.decode(list(self._prefix_ids)) if self._prefix_ids else ""
             full = self.tokenizer.decode(list(ids))
             # decode suffix robustly (BPE merges may change boundaries)
             suffix = full[len(prev) :] if full.startswith(prev) else text
-            stack = self._advance_text(stack, suffix)
+            state = self._advance_text(state, suffix)
         self._prefix_ids = ids
-        self._prefix_stack = stack
-        return stack
+        self._prefix_state = state
+        return state
 
-    def _walk(self, node: TokenTrie, stack: Stack, out: List[int]) -> None:
+    def _walk(self, node: TokenTrie, state: State, out: List[int]) -> None:
         out.extend(node.token_ids)
         if not node.children:
             return
-        allowed = set(_allowed_chars(stack))
-        str_mode = stack and stack[-1][0] == "str_body"
+        allowed = set(_allowed_state(state, self.whitespace))
+        str_mode = any(s and s[-1][0] == "str_body" for s in state)
         for ch, child in node.children.items():
             ok = ch in allowed or (str_mode and ch in _STRING_CHARS)
             if not ok:
                 continue
-            nxt = _step(stack, ch)
-            if nxt is not None:
+            nxt = _step_state(state, ch, self.whitespace)
+            if nxt:
                 self._walk(child, nxt, out)
 
     def allowed_tokens(self, output_ids: Sequence[int]) -> np.ndarray:
-        stack = self._stack_for(output_ids)
-        if stack is None:
+        state = self._state_for(output_ids)
+        if not state:
             return np.empty((0,), np.int64)
-        cached = self._mask_cache.get(stack)
+        cached = self._mask_cache.get(state)
         if cached is not None:
             return cached
         out: List[int] = []
         # Root token_ids are empty-string tokens — never allowed mid-document.
-        allowed = set(_allowed_chars(stack))
-        str_mode = stack and stack[-1][0] == "str_body"
+        allowed = set(_allowed_state(state, self.whitespace))
+        str_mode = any(s and s[-1][0] == "str_body" for s in state)
         for ch, child in self.trie.children.items():
             if ch in allowed or (str_mode and ch in _STRING_CHARS):
-                nxt = _step(stack, ch)
-                if nxt is not None:
+                nxt = _step_state(state, ch, self.whitespace)
+                if nxt:
                     self._walk(child, nxt, out)
-        if _can_end(stack) and self.eos_id is not None:
+        if _can_end(state) and self.eos_id is not None:
             out.append(int(self.eos_id))
         arr = np.asarray(sorted(set(out)), np.int64)
-        self._mask_cache[stack] = arr
+        self._mask_cache[state] = arr
         return arr

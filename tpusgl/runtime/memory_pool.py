@@ -77,6 +77,7 @@ class PagePool:
         self.page_size = page_size
         self.num_pages = num_tokens // page_size
         self.free_list = np.arange(1, self.num_pages + 1, dtype=np.int32)
+        self._dirty = False  # needs re-sort before next alloc
 
     # Token-denominated views (the scheduler's admission math is in tokens,
     # mirroring the reference's budgets).
@@ -87,8 +88,16 @@ class PagePool:
         return len(self.free_list)
 
     def alloc_pages(self, need: int) -> Optional[np.ndarray]:
+        """Allocate `need` pages, lowest ids first (the free list is kept
+        sorted so freed runs re-coalesce — multi-page allocations come out as
+        physically contiguous runs whenever the pool has them, which is what
+        lets the Pallas decode kernel take its single-DMA block fast path,
+        ops/paged_attention.block_contig)."""
         if need > len(self.free_list):
             return None
+        if self._dirty:
+            self.free_list = np.sort(self.free_list)
+            self._dirty = False
         out = self.free_list[:need]
         self.free_list = self.free_list[need:]
         return out
@@ -98,9 +107,11 @@ class PagePool:
         if page_ids.size == 0:
             return
         self.free_list = np.concatenate([self.free_list, page_ids])
+        self._dirty = True
 
     def clear(self) -> None:
         self.free_list = np.arange(1, self.num_pages + 1, dtype=np.int32)
+        self._dirty = False
 
     def page_slots(self, page_ids: np.ndarray) -> np.ndarray:
         """All page_size token slot ids of each page, concatenated:

@@ -135,8 +135,15 @@ class RadixCache:
 
     # -------------------------------------------------------------- eviction
 
-    def evict(self, num_tokens: int, free_callback: Callable[[np.ndarray], None]):
-        """LRU-evict >= num_tokens unlocked leaf tokens (radix_cache.py:207-225)."""
+    def evict(
+        self,
+        num_tokens: int,
+        free_callback: Callable[[np.ndarray], None],
+        spill_callback: Optional[Callable[["TreeNode"], None]] = None,
+    ):
+        """LRU-evict >= num_tokens unlocked leaf tokens (radix_cache.py:207-225).
+        `spill_callback(node)` runs BEFORE the node's slots are freed — the
+        host KV offload tier's hook (runtime/host_cache.py)."""
         leaves = self._collect_leaves()
         heapq.heapify(leaves)
         evicted = 0
@@ -146,6 +153,8 @@ class RadixCache:
                 break
             if node.lock_ref > 0:
                 continue
+            if spill_callback is not None:
+                spill_callback(node)
             free_callback(node.value)
             evicted += len(node.value)
             self._delete_leaf(node)
@@ -258,6 +267,11 @@ class PagedRadixCache:
                 t += 1
             if t and (best is None or t > best[1]):
                 best = (int(child.value[0]), t, child)
+        if best is not None:
+            # Feed the LRU signal like whole-page hits do (match_prefix
+            # touches every walked node): a repeatedly tail-reused page must
+            # not look cold to eviction (ADVICE r3).
+            self.tree._touch(best[2])
         return best
 
     def insert(self, token_ids, page_ids: np.ndarray) -> int:
@@ -269,9 +283,27 @@ class PagedRadixCache:
         page_ids = np.asarray(page_ids, np.int32)[: len(chunks)]
         return self.tree.insert(chunks, page_ids) * self.page_size
 
-    def evict(self, num_tokens: int, free_pages: Callable[[np.ndarray], None]):
+    def evict(
+        self,
+        num_tokens: int,
+        free_pages: Callable[[np.ndarray], None],
+        spill_callback: Optional[Callable[["TreeNode"], None]] = None,
+    ):
         pages = -(-num_tokens // self.page_size)
-        self.tree.evict(pages, free_pages)
+        self.tree.evict(pages, free_pages, spill_callback)
+
+    @staticmethod
+    def node_chunks(node: "TreeNode") -> Tuple[List[tuple], List[tuple]]:
+        """(prefix chunks from the root, the node's own chunks) — each chunk
+        is one page's token tuple. The host-cache spill keying needs the full
+        path: a page's KV depends on everything before it (host_cache.py)."""
+        own = list(node.key)
+        prefix: List[tuple] = []
+        p = node.parent
+        while p is not None and p.key:
+            prefix = list(p.key) + prefix
+            p = p.parent
+        return prefix, own
 
     def inc_lock_ref(self, node) -> None:
         self.tree.inc_lock_ref(node)

@@ -35,6 +35,13 @@ class Request:
     finished: bool = False
     req_pool_idx: Optional[int] = None
     seq_len: int = 0  # current logical length (prompt + committed output + in-flight)
+    # Tokens of the mirror row backed by ALLOCATED pages (page-aligned past
+    # the sub-page prefix, >= seq_len). Decode only allocates when
+    # seq_len + window would exceed it; with prefill-time preallocation
+    # (EngineConfig.prealloc_decode_pages) the whole row is one contiguous
+    # page run and decode never allocates. Frees (retract / finish) cover
+    # [*, alloc_len), not [*, seq_len).
+    alloc_len: int = 0
 
     # Page ids of the radix-cached prefix (page-granular sharing; the token
     # count is num_cached_tokens == len(prefix_pages) * page_size).
@@ -72,6 +79,7 @@ class Request:
         (cf. request.py:34-46 which discards it)."""
         self.req_pool_idx = None
         self.seq_len = 0
+        self.alloc_len = 0
         self.finished = False
         self.is_retracted = True
         self.inflight_steps = 0

@@ -16,3 +16,6 @@ class SamplingParams:
     do_sample: bool = False
     repetition_penalty: float = 1.0
     json_schema: Optional[Dict[str, Any]] = None
+    # Accept inter-token whitespace in schema-constrained output (runs capped
+    # at 12 chars) instead of enforcing canonical spacing-free JSON.
+    json_whitespace: bool = False

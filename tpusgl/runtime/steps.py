@@ -243,10 +243,18 @@ class StepFunctions:
         """Jitted gather of whole pages out of every layer's pool into one
         compact array pair ([n, L, P, W] pool-dtype, [n, L, R8, P] f32 or
         None) — the device side of spilling radix-evicted pages to the host
-        KV tier (runtime/host_cache.py). Pure gather: state is NOT donated."""
+        KV tier (runtime/host_cache.py). Pure gather: state is NOT donated.
+
+        Under tp the gather runs per shard via shard_map (like
+        _make_copy_jit) so R8 derives from LOCAL shapes — the scale pool is
+        row-sharded as stacked per-shard blocks, and global-shape row math
+        would address the wrong shard's scale rows (ADVICE r3). The gathered
+        scale block is shard-stacked [n, L, tp*R8_local, P], matching the
+        inject layout below."""
         P = self.engine_cfg.page_size
         has_scale = self.engine_cfg.quant.kv_dtype == "int8"
         L = self.model_cfg.num_hidden_layers
+        mesh = self.mesh
 
         def body(kv, kv_scale, pages):
             off = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -262,13 +270,35 @@ class StepFunctions:
                 )
             return data, sc
 
-        return jax.jit(body)
+        if mesh is None:
+            return jax.jit(body)
+
+        from jax.sharding import PartitionSpec as Pspec
+
+        pool_spec = tuple(Pspec(None, "tp") for _ in range(L))
+        scale_spec = (
+            tuple(Pspec("tp", None) for _ in range(L)) if has_scale else None
+        )
+        rep = Pspec()
+        return jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pool_spec, scale_spec, rep),
+                # data gathers this shard's pool columns; scale this shard's
+                # row block — stack both on their sharded axes.
+                out_specs=(Pspec(None, None, None, "tp"),
+                           Pspec(None, None, "tp", None) if has_scale else rep),
+                check_vma=False,
+            )
+        )
 
     def _make_inject_jit(self, n: int):
-        """Jitted scatter of host-reloaded pages back into the pools."""
+        """Jitted scatter of host-reloaded pages back into the pools
+        (shard_map under tp — see _make_extract_jit)."""
         P = self.engine_cfg.page_size
         has_scale = self.engine_cfg.quant.kv_dtype == "int8"
         L = self.model_cfg.num_hidden_layers
+        mesh = self.mesh
 
         def body(kv, kv_scale, pages, data, sc):
             off = jnp.arange(P, dtype=jnp.int32)[None, :]
@@ -290,7 +320,27 @@ class StepFunctions:
                 kv_scale = tuple(kv_scale)
             return tuple(kv), kv_scale
 
-        return jax.jit(body, donate_argnums=(0, 1))
+        if mesh is None:
+            return jax.jit(body, donate_argnums=(0, 1))
+
+        from jax.sharding import PartitionSpec as Pspec
+
+        pool_spec = tuple(Pspec(None, "tp") for _ in range(L))
+        scale_spec = (
+            tuple(Pspec("tp", None) for _ in range(L)) if has_scale else None
+        )
+        rep = Pspec()
+        return jax.jit(
+            jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pool_spec, scale_spec, rep,
+                          Pspec(None, None, None, "tp"),
+                          Pspec(None, None, "tp", None) if has_scale else rep),
+                out_specs=(pool_spec, scale_spec),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
 
     def extract_pages(self, state: EngineState, pages):
         """Gather `pages` (list of page ids) out of the pools ->
