@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--enable-overlap", action="store_true")
     p.add_argument("--json-schema", default=None, help="path to a JSON schema file")
+    p.add_argument("--json-whitespace", action="store_true",
+                   help="tolerate inter-token whitespace in constrained output")
     p.add_argument("--device", default=None, choices=["tpu", "cpu"],
                    help="force a jax backend (reference run.py:24)")
     p.add_argument("--tp", type=int, default=1,
@@ -82,6 +84,7 @@ def main():
         top_k=args.top_k,
         top_p=args.top_p,
         json_schema=schema,
+        json_whitespace=args.json_whitespace,
     )
 
     if engine.tokenizer is not None:

@@ -81,13 +81,20 @@ def test_constrained_json_through_real_trie(engine):
     tokens like '":' and 'true' exist as REAL learned merges here, not the
     toy CharTokenizer's hand-planted ones) must still produce
     schema-conforming JSON."""
+    # Every value type here is BOUNDED (string maxLength, boolean / enum
+    # literals), so the automaton reaches a state where eos is the only
+    # legal token within ~40 tokens — rollouts terminate deterministically
+    # even under pure random sampling (an unbounded integer field made an
+    # earlier version of this test flaky: random models emit digits
+    # forever).
     schema = {
         "type": "object",
         "properties": {
             "name": {"type": "string", "maxLength": 8},
-            "count": {"type": "integer"},
+            "ok": {"type": "boolean"},
+            "count": {"enum": [1, 22, 333]},
         },
-        "required": ["name", "count"],
+        "required": ["name", "ok"],
     }
     sp = SamplingParams(
         max_new_tokens=160, do_sample=True, temperature=1.0,
@@ -99,22 +106,17 @@ def test_constrained_json_through_real_trie(engine):
     )
     from tpusgl.runtime.json_fsm import _freeze, _step_state, resolve_refs
 
-    completed = 0
     for out in outs:
-        terminated = "<|im_end|>" in out
+        assert "<|im_end|>" in out, f"did not terminate: {out!r}"
         text = out.replace("<|im_end|>", "")
-        # EVERY output must be a valid prefix of schema-conforming JSON —
-        # the mask may never admit an illegal character.
+        # the mask may never admit an illegal character at any point
         state = ((("val", _freeze(resolve_refs(schema))),),)
         for ch in text:
             state = _step_state(state, ch, False)
             assert state, f"FSM-invalid output {text!r} at {ch!r}"
-        if terminated:
-            doc = json.loads(text)
-            assert set(doc) == {"name", "count"}
-            assert isinstance(doc["count"], int)
-            assert isinstance(doc["name"], str) and len(doc["name"]) <= 8
-            completed += 1
-    # a random model with eos admitted at every legal end point terminates
-    # at least one of four 160-token rollouts in practice
-    assert completed >= 1, [o[:60] for o in outs]
+        doc = json.loads(text)
+        assert {"name", "ok"} <= set(doc) <= {"name", "ok", "count"}
+        assert isinstance(doc["ok"], bool)
+        assert isinstance(doc["name"], str) and len(doc["name"]) <= 8
+        if "count" in doc:
+            assert doc["count"] in (1, 22, 333)

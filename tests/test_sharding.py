@@ -2,6 +2,8 @@
 (SURVEY.md §4.3): the sharded engine must produce token-identical output,
 with weights/KV actually partitioned and XLA inserting the collectives."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -289,6 +291,11 @@ def test_72b_int4_tp8_program_lowers():
     lowered.compile()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("TPUSGL_SLOW_TESTS"),
+    reason="~45 min in interpret mode; set TPUSGL_SLOW_TESTS=1 "
+    "(passed 2026-08-21, see STATUS.md)",
+)
 def test_72b_geometry_int4_tp8_executes():
     """VERDICT r3 #8: EXECUTE (not just lower) the 72B-geometry INT4 tp=8
     decode path on the 8-virtual-device mesh. Exact Qwen2.5-72B per-layer

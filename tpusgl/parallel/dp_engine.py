@@ -90,12 +90,46 @@ class DataParallelEngine:
         # Interleave the replicas' serving loops: each next() submits /
         # commits one step on that replica, then yields the host — replica
         # steps overlap across device groups via async dispatch.
+        #
+        # Readiness-aware (round-3 weakness: plain round-robin blocked on
+        # each replica's commit IN TURN, so one slow replica serialized the
+        # host against every fast one): a replica whose in-flight step has
+        # not completed on device (scheduler._pending_sub not ready) is
+        # skipped this sweep; only when EVERY live replica is device-busy
+        # does the host block — on the least-recently-submitted one.
         gens = [
             rep.scheduler.step_events(enable_overlap) for rep in self.replicas
         ]
         live = set(range(self.dp))
+
+        def ready(r: int) -> bool:
+            sub = getattr(self.replicas[r].scheduler, "_pending_sub", None)
+            if sub is None:
+                return True
+            try:
+                return all(
+                    x.is_ready() if hasattr(x, "is_ready") else True
+                    for x in jax.tree.leaves(sub.next_ids_dev)
+                )
+            except Exception:
+                return True
+
+        def submit_t(r: int) -> float:
+            sub = getattr(self.replicas[r].scheduler, "_pending_sub", None)
+            return sub.submit_t if sub is not None else 0.0
+
         while live:
+            progressed = False
             for r in list(live):
+                if not ready(r):
+                    continue
+                try:
+                    next(gens[r])
+                except StopIteration:
+                    live.discard(r)
+                progressed = True
+            if not progressed and live:
+                r = min(live, key=submit_t)
                 try:
                     next(gens[r])
                 except StopIteration:

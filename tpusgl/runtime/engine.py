@@ -167,6 +167,7 @@ class Engine:
         max_workers: int = 16,
         prefill_buckets: Optional[Sequence[int]] = None,
         prefix: bool = True,
+        prefix_buckets: Optional[Sequence[int]] = None,
         copy: bool = True,
         windows: Optional[Sequence[int]] = None,
         execute: bool = True,
@@ -245,9 +246,10 @@ class Engine:
                 Bb = sched._prefill_bb(S)
                 penalty_av = None if s else i32(Bb, 64)
                 penalty = None if s else np.zeros((Bb, 64), np.int32)
-                Tp = sched._prefix_bucket(1)
-                variants = (None, i32(Bb, Tp)) if prefix else (None,)
-                for pfx in variants:
+                tps = tuple(prefix_buckets or (sched._prefix_bucket(1),))
+                variants = ((None,) + tps) if prefix else (None,)
+                for v in variants:
+                    pfx = None if v is None else i32(Bb, v)
                     fn = self.steps.get_prefill_jit(pfx is not None, s)
                     to_warm.append((
                         fn,
@@ -256,7 +258,7 @@ class Engine:
                          avatar(SamplingArrays.full(Bb)), penalty_av, None),
                         (np.full((Bb,), R, np.int32), z(Bb, S), z(Bb),
                          z(Bb), z(Bb, S),
-                         None if pfx is None else z(Bb, Tp),
+                         None if v is None else z(Bb, v),
                          SamplingArrays.full(Bb), penalty, None),
                     ))
             Bb = cfg.decode_bs_buckets[-1]

@@ -46,6 +46,9 @@ class HostKVCache:
         self._bytes = 0
         self.spilled_pages = 0
         self.hit_pages = 0
+        # Bumped on every put: lets the scheduler skip re-probing a request
+        # whose device-matched length and the store are both unchanged.
+        self.generation = 0
 
     @staticmethod
     def key(prefix_hash: int, chunk: tuple) -> tuple:
@@ -77,6 +80,7 @@ class HostKVCache:
         self._store[key] = (kv, sc)
         self._bytes += nbytes
         self.spilled_pages += 1
+        self.generation += 1
 
     def get(self, key: tuple) -> Optional[tuple]:
         e = self._store.get(key)

@@ -619,16 +619,21 @@ class JsonConstraintState(ConstraintState):
     """Token-level mask provider for one request (reference
     constraints.py:19-42 by way of lm-format-enforcer, re-implemented)."""
 
-    _trie_cache: Dict[int, TokenTrie] = {}
-
     def __init__(self, schema: Dict[str, Any], tokenizer, whitespace: bool = False):
         self.tokenizer = tokenizer
         self.eos_id = getattr(tokenizer, "eos_token_id", None)
         self.whitespace = whitespace
-        key = id(tokenizer)
-        trie = self._trie_cache.get(key)
+        # The trie lives ON the tokenizer object so its lifetime is tied to
+        # it. (An id(tokenizer)-keyed module dict was a stale-cache bug: ids
+        # are reused after garbage collection, silently handing a NEW
+        # tokenizer some dead tokenizer's trie.)
+        trie = getattr(tokenizer, "_tpusgl_token_trie", None)
         if trie is None:
-            trie = self._trie_cache[key] = TokenTrie.from_tokenizer(tokenizer)
+            trie = TokenTrie.from_tokenizer(tokenizer)
+            try:
+                tokenizer._tpusgl_token_trie = trie
+            except (AttributeError, TypeError):  # pragma: no cover
+                pass
         self.trie = trie
         resolved = resolve_refs(schema or {})
         self.root_state: State = ((("val", _freeze(resolved)),),)

@@ -186,6 +186,7 @@ class Scheduler:
             decode_iters=0, decode_kv_token_reads=0,
             prefill_wait_s=0.0, decode_wait_s=0.0,
             host_spilled_pages=0, host_injected_tokens=0,
+            spec_steps=0, spec_proposed=0, spec_accepted=0,
         )
         # the host KV tier deliberately survives reset: it is keyed by
         # content (prefix-hash + chunk), not by engine state
@@ -282,6 +283,10 @@ class Scheduler:
         if overlap is None:
             overlap = self.cfg.enable_overlap
         pending: Optional[_Submission] = None
+        # Mirror of `pending` for DataParallelEngine's readiness peeking
+        # (parallel/dp_engine.py): a DP driver skips replicas whose in-flight
+        # step has not finished on device instead of blocking on them.
+        self._pending_sub = None
         while True:
             if (
                 not self.waiting and not self.decoding
@@ -304,7 +309,7 @@ class Scheduler:
                 # have finished or re-queued requests.
                 self._commit(pending)
                 yield pending.requests
-                pending = None
+                pending = self._pending_sub = None
                 batch, mode = self._select_batch()
                 if mode == "error":
                     continue
@@ -323,13 +328,13 @@ class Scheduler:
             if pending is not None:
                 self._commit(pending)
                 yield pending.requests
-            pending = submitted
+            pending = self._pending_sub = submitted
             # Speculative steps never pipeline: the next step's drafts (and
             # its last-token inputs) come from THIS step's committed output.
             if pending is not None and (not overlap or pending.mode == "spec"):
                 self._commit(pending)
                 yield pending.requests
-                pending = None
+                pending = self._pending_sub = None
 
     def run_batch_static(
         self,
@@ -569,34 +574,42 @@ class Scheduler:
     # -------------------------------------------------------------- execution
 
     def _evict(self, num_tokens: int) -> None:
-        """Radix LRU eviction, spilling each evicted node's pages to the
-        host KV tier first when one is configured."""
-        spill = self._spill_node if self.host_cache is not None else None
-        self.tree.evict(num_tokens, self.page_pool.free_pages, spill)
+        """Radix LRU eviction, spilling evicted nodes' pages to the host KV
+        tier when one is configured. Spill gathers are ENQUEUED per node
+        while the tree walks (before any program that could reuse the freed
+        pages) and resolved to numpy in ONE batch afterwards, so the host
+        pays one D2H wait per eviction burst, not per node."""
+        if self.host_cache is None:
+            self.tree.evict(num_tokens, self.page_pool.free_pages)
+            return
+        staged = []
 
-    def _spill_node(self, node) -> None:
-        """Copy an about-to-be-evicted tree node's KV pages to host RAM
-        (runtime/host_cache.py). The device gather is enqueued before the
-        freed pages can be reused (any later write is a later program), and
-        resolved to numpy in one batched D2H here — eviction is already the
-        slow path (the alternative is recomputing these pages)."""
+        def spill(node):
+            prefix, own = self.tree.node_chunks(node)
+            pages = np.asarray(node.value, np.int32)
+            data, sc = self.steps.extract_pages(self.state, pages)
+            staged.append((prefix, own, data, sc))
+
+        self.tree.evict(num_tokens, self.page_pool.free_pages, spill)
+        if staged:
+            self._store_spills(staged)
+
+    def _store_spills(self, staged) -> None:
         from tpusgl.runtime.host_cache import HostKVCache
 
-        prefix, own = self.tree.node_chunks(node)
-        pages = np.asarray(node.value, np.int32)
-        data, sc = self.steps.extract_pages(self.state, pages)
-        data = np.asarray(data)
-        sc = np.asarray(sc) if sc is not None else None
-        h = 0
-        for ch in prefix:
-            h = HostKVCache.chain_hash(h, ch)
-        for i, ch in enumerate(own):
-            self.host_cache.put(
-                HostKVCache.key(h, ch), data[i],
-                sc[i] if sc is not None else None,
-            )
-            h = HostKVCache.chain_hash(h, ch)
-        self.metrics["host_spilled_pages"] += len(own)
+        for prefix, own, data, sc in staged:
+            data = np.asarray(data)
+            sc = np.asarray(sc) if sc is not None else None
+            h = 0
+            for ch in prefix:
+                h = HostKVCache.chain_hash(h, ch)
+            for i, ch in enumerate(own):
+                self.host_cache.put(
+                    HostKVCache.key(h, ch), data[i],
+                    sc[i] if sc is not None else None,
+                )
+                h = HostKVCache.chain_hash(h, ch)
+            self.metrics["host_spilled_pages"] += len(own)
 
     def _try_inject_host_pages(self, req: Request, key: List[int]) -> None:
         """Extend a device-level prefix match with host-cached pages: upload
@@ -607,6 +620,14 @@ class Scheduler:
         if len(self.host_cache) == 0:
             return
         matched = len(req.prefix_pages) * self.P
+        # Selection re-runs every scheduling round over the whole waiting
+        # queue; recomputing the rolling prefix hash each time was measured
+        # as the dominant host cost of the tier. Probe once per
+        # (device-matched length, host-store generation).
+        probe = (matched, self.host_cache.generation)
+        if getattr(req, "_host_probe", None) == probe:
+            return
+        req._host_probe = probe
         # Never starve admission: use at most half the free pages per round.
         cap = self.page_pool.available_pages() // 2
         if cap <= 0:
@@ -999,6 +1020,7 @@ class Scheduler:
             epochs=[r.epoch for r in batch],
             next_ids_dev=next_ids,
             window=K,
+            submit_t=time.perf_counter(),
         )
 
     # --------------------------------------------------- speculative decoding
@@ -1124,6 +1146,7 @@ class Scheduler:
             epochs=[r.epoch for r in batch],
             next_ids_dev=out,
             spec_meta=spec_meta,
+            submit_t=time.perf_counter(),
         )
 
     def _commit_spec(self, sub: _Submission) -> None:
