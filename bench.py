@@ -142,8 +142,15 @@ def main() -> None:
     # 7B bench geometry vs 512-token blocks (the kernel is DMA-issue bound,
     # not bandwidth bound, at short-to-mid context).
     page_size, ppb = (128, 8) if args.kv_dtype == "int8" else (32, 16)
+    if args.mode == "prefix":
+        # longest prompt = shared prefix + suffix, and the replay wave
+        # extends it by the generated output + a 32-token user turn
+        max_prompt = (args.shared_prefix_len + min(256, args.max_input)
+                      + args.max_new_tokens + 32)
+    else:
+        max_prompt = args.max_input
     ctx = round_up(
-        args.max_input + args.max_new_tokens + args.decode_window, page_size
+        max_prompt + args.max_new_tokens + args.decode_window, page_size
     )
     ecfg = EngineConfig.from_env(
         quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
@@ -179,9 +186,11 @@ def main() -> None:
             rng.integers(0, vocab, args.shared_prefix_len).tolist()
             for _ in range(args.prefix_groups)
         ]
+        hi = min(256, args.max_input)
         prompts = [
             sys_prompts[i % args.prefix_groups]
-            + rng.integers(0, vocab, rng.integers(16, 257)).tolist()
+            + rng.integers(0, vocab, rng.integers(
+                min(16, hi), hi + 1)).tolist()
             for i in range(args.num_seqs)
         ]
     else:
@@ -202,8 +211,10 @@ def main() -> None:
     # workload can reach (bench.py docstring stage 1; VERDICT r3 #4).
     max_ext = max(len(p) for p in prompts)
     if args.mode == "prefix":
-        # radix hits shrink extensions to anywhere in [1, prompt_len]
-        top = pick_bucket(max_ext + 32 + args.max_new_tokens,
+        # radix hits shrink extensions to anywhere in [1, prompt_len];
+        # longer-than-largest-bucket extensions run chunked, so cap there
+        need = max_ext + 32 + args.max_new_tokens
+        top = pick_bucket(min(need, ecfg.prefill_len_buckets[-1]),
                           ecfg.prefill_len_buckets)
         buckets = [b for b in ecfg.prefill_len_buckets if b <= top]
     else:
@@ -352,12 +363,14 @@ def main() -> None:
         }
 
     reports = []
+    last_outs = None
     for p in range(args.passes):
         engine.reset()
         profile = args.profile if p == args.passes - 1 else None
         r = run_pass(prompts, profile_dir=profile)
         r["report"]["pass"] = p + 1
         reports.append(r["report"])
+        last_outs = r["outs"]
         print(json.dumps(r["report"]), file=sys.stderr)
 
     replay_report = None
@@ -365,21 +378,13 @@ def main() -> None:
         # Multi-turn replay: wave-2 prompts extend wave-1 conversations
         # (prompt + generated output + a fresh user turn) — radix reuse of
         # GENERATED KV, not just shared system prompts. No reset: the tree
-        # still holds wave-1 pages.
-        last = run_pass(prompts)  # populate tree state deterministically
+        # still holds the final timed pass's pages and ITS outputs seed the
+        # wave (no extra regeneration run).
         wave2 = [
             p + o + rng.integers(0, vocab, 32).tolist()
-            for p, o in zip(prompts, last["outs"])
+            for p, o in zip(prompts, last_outs)
         ]
-        for k, v in engine.metrics.items():
-            if isinstance(v, list):
-                v.clear()
-        engine.metrics.update(
-            prefill_steps=0, decode_steps=0, decode_tokens=0,
-            prefill_tokens=0, cached_tokens=0, tail_cached_tokens=0,
-            retractions=0, decode_iters=0, decode_kv_token_reads=0,
-            prefill_wait_s=0.0, decode_wait_s=0.0,
-        )
+        engine.scheduler.clear_metrics()
         r2 = run_pass(wave2)
         replay_report = r2["report"]
         replay_report["pass"] = "replay"

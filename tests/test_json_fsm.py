@@ -241,6 +241,34 @@ def test_whitespace_flag(text, ok):
     assert not accepts(schema, '{ "a" : 1 }', ws=False)
 
 
+def test_ws_mode_keeps_literal_whitespace():
+    """Whitespace tolerance must not break ws chars that are CONTENT:
+    string bodies, enum/const literals, quoted property keys."""
+    assert accepts({"type": "string"}, '"hello world"', ws=True)
+    assert accepts({"enum": ["a b"]}, '"a b"', ws=True)
+    assert accepts({"const": [1, 2]}, "[1, 2]", ws=True)
+    schema = {"type": "object",
+              "properties": {"a key": {"type": "integer"}},
+              "required": ["a key"]}
+    assert accepts(schema, '{ "a key" : 1 }', ws=True)
+    assert accepts(schema, '{"a key":1}', ws=True)
+
+
+def test_free_string_states_recur():
+    """Unbounded-string states must be RECURRENT so the per-state token-mask
+    memo hits (an exact char counter made every character a fresh state —
+    a full vocab-trie walk per generated token)."""
+    from tpusgl.runtime.json_fsm import _step_state
+
+    state = (((("val", _freeze({"type": "string"})),),))
+    state = _step_state(state, '"', False)
+    seen = set()
+    for ch in "abcdefgh":
+        state = _step_state(state, ch, False)
+        seen.add(state)
+    assert len(seen) == 1, "string states must not grow with length"
+
+
 def test_ws_run_capped():
     schema = {"type": "object", "properties": {"a": {"type": "integer"}},
               "required": ["a"]}

@@ -147,6 +147,17 @@ _WS_FRAMES = frozenset((
 ))
 
 
+def _str_frame(n: int, lo: int, hi) -> Tuple:
+    """str_body frame with the char counter NORMALIZED: once past minLength
+    with no maxLength, every further count behaves identically, so clamping
+    keeps the parser state RECURRENT — the per-state mask memo hits instead
+    of paying a full vocabulary-trie walk per generated character inside an
+    unbounded string."""
+    if hi is None and n > lo:
+        n = lo
+    return ("str_body", n, lo, hi)
+
+
 def _schema_branches(s: dict) -> Optional[List[Any]]:
     """anyOf/oneOf branch list, or None."""
     br = s.get("anyOf") or s.get("oneOf")
@@ -392,7 +403,7 @@ def _step(stack: Stack, c: str) -> List[Stack]:
         if c == "\\":
             return [below + (("str_body", n, lo, hi), ("str_escape", 0, 0, 0))]
         if c in _STRING_CHARS:
-            return [below + (("str_body", n + 1, lo, hi),)]
+            return [below + (_str_frame(n + 1, lo, hi),)]
         return []
 
     if kind == "str_escape":
@@ -404,7 +415,7 @@ def _step(stack: Stack, c: str) -> List[Stack]:
         _, n, lo, hi = body
         if hi is not None and n >= hi:
             return []
-        return [below[:-1] + (("str_body", n + 1, lo, hi),)]
+        return [below[:-1] + (_str_frame(n + 1, lo, hi),)]
 
     if kind == "num":
         text, int_only = top[1], top[2]
@@ -517,19 +528,28 @@ def _ws_ok(stack: Stack) -> bool:
 
 def _step_ws(stack: Stack, c: str) -> List[Stack]:
     """Step with whitespace tolerance: ws chars self-loop (capped run) at
-    between-token positions; other chars pop any ws frame first."""
-    if c in _WS:
-        if not _ws_ok(stack):
-            return []
-        top = stack[-1]
-        if top[0] == "ws":
-            return [stack[:-1] + (("ws", top[1] + 1),)]
-        if top[0] == "num":
-            # terminate the number, then open a ws run
-            return [stack[:-1] + (("ws", 1),)]
-        return [stack + (("ws", 1),)]
+    between-token positions; other chars pop any ws frame first.
+
+    A ws char can ALSO be literal content — a space inside a string body,
+    an enum/const literal, or a quoted property key — so both readings are
+    taken as NFA branches (the literal _step naturally dies where ws isn't
+    legal content)."""
     if stack and stack[-1][0] == "ws":
-        stack = stack[:-1]
+        if c in _WS:
+            n = stack[-1][1]
+            return (
+                [stack[:-1] + (("ws", n + 1),)] if n < _MAX_WS_RUN else []
+            )
+        return _step(stack[:-1], c)
+    if c in _WS:
+        out = list(_step(stack, c))  # literal reading (string content etc.)
+        if _ws_ok(stack):
+            if stack and stack[-1][0] == "num":
+                # terminate the number, then open a ws run
+                out.append(stack[:-1] + (("ws", 1),))
+            else:
+                out.append(stack + (("ws", 1),))
+        return out
     return _step(stack, c)
 
 

@@ -167,6 +167,17 @@ class Scheduler:
 
     # ------------------------------------------------------------------ API
 
+    def clear_metrics(self) -> None:
+        """Zero every counter/list (ONE place — bench passes and reset()
+        both use it, so the field list cannot drift)."""
+        for k, v in self.metrics.items():
+            if isinstance(v, list):
+                v.clear()
+            elif isinstance(v, float):
+                self.metrics[k] = 0.0
+            else:
+                self.metrics[k] = 0
+
     def reset(self) -> None:
         self.req_pool.clear()
         self.page_pool.clear()
@@ -177,17 +188,7 @@ class Scheduler:
         self.chunking = None
         self._chunk_turn = False
         self.est_new_token_ratio = self.cfg.new_token_ratio_init
-        for v in self.metrics.values():
-            if isinstance(v, list):
-                v.clear()
-        self.metrics.update(
-            prefill_steps=0, decode_steps=0, decode_tokens=0,
-            prefill_tokens=0, cached_tokens=0, retractions=0,
-            decode_iters=0, decode_kv_token_reads=0,
-            prefill_wait_s=0.0, decode_wait_s=0.0,
-            host_spilled_pages=0, host_injected_tokens=0,
-            spec_steps=0, spec_proposed=0, spec_accepted=0,
-        )
+        self.clear_metrics()
         # the host KV tier deliberately survives reset: it is keyed by
         # content (prefix-hash + chunk), not by engine state
 
@@ -1155,7 +1156,13 @@ class Scheduler:
         for i, req in enumerate(sub.requests):
             seq_old, ext, pages, first_new_page = sub.spec_meta[i]
             if req.epoch != sub.epochs[i]:
-                self.page_pool.free_pages(np.asarray(pages, np.int32))
+                # Retraction already freed this step's pages: they were
+                # recorded in req.alloc_len at submit, and _retract frees
+                # the whole [num_cached_tokens, alloc_len) span — freeing
+                # them here again would hand one physical page to two
+                # requests. (Unreachable today — spec never pipelines, so
+                # no retraction can land between submit and commit — but
+                # the accounting must stay correct if that ever changes.)
                 continue
             req.inflight_steps -= 1
             a = min(int(accept[i]), ext - 1)
