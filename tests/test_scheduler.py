@@ -335,3 +335,27 @@ def test_subpage_tail_plus_aligned_pages(params):
     assert eng.metrics["tail_cached_tokens"] >= 3
     assert eng.metrics["cached_tokens"] >= 7
     assert out2 == naive_greedy(params, CFG, p2, 6)
+
+
+def test_many_tiny_requests_page_granular_admission(params):
+    """Admission budgets in whole pages: a flood of tiny prompts (each
+    needing a full page despite a handful of tokens) must be throttled and
+    served in waves — the old token-denominated estimate over-admitted and
+    crashed with 'Prefill OOM' (review finding, round 4)."""
+    ecfg = dataclasses.replace(
+        ECFG, max_total_tokens=128, max_requests=8, page_size=16,
+        prefill_len_buckets=(8, 16), kv_len_bucket=16,
+        decode_bs_buckets=(1, 2, 4, 8),
+    )
+    engine = Engine(
+        model_cfg=CFG, engine_cfg=ecfg, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, CFG.vocab_size, 3)) for _ in range(12)]
+    sp = SamplingParams(max_new_tokens=4, do_sample=False, eos_id=-1)
+    outs = engine.scheduler.run_batch(prompts, sp)
+    from tests.conftest import naive_greedy
+
+    for p, o in zip(prompts, outs):
+        assert o == naive_greedy(params, CFG, p, 4)

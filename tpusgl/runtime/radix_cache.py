@@ -61,6 +61,11 @@ class RadixCache:
         self.root.value = np.empty((0,), np.int32)
         self.root.lock_ref = 1
         self.evictable_size_ = 0
+        # Bumped on every structural change (insert/split/evict/reset):
+        # cached match results (node pointers) are valid iff taken at the
+        # current generation — the scheduler uses this to skip re-matching
+        # the whole waiting queue every selection round.
+        self.generation = getattr(self, "generation", 0) + 1
 
     def _touch(self, node: TreeNode) -> None:
         node.last_access = next(self._clock)
@@ -91,6 +96,7 @@ class RadixCache:
 
     def _split(self, child: TreeNode, split_len: int) -> TreeNode:
         """Split `child` so the first split_len tokens become a new parent."""
+        self.generation += 1  # structural change: cached matches are stale
         new_node = TreeNode()
         new_node.parent = child.parent
         new_node.lock_ref = child.lock_ref
@@ -108,6 +114,7 @@ class RadixCache:
 
     def insert(self, key: List[int], value: np.ndarray) -> int:
         """Insert; returns length of the prefix that was already present."""
+        self.generation += 1
         return self._insert(self.root, key, value)
 
     def _insert(self, node: TreeNode, key: List[int], value: np.ndarray) -> int:
@@ -174,6 +181,7 @@ class RadixCache:
     def _delete_leaf(self, node: TreeNode) -> None:
         del node.parent.children[node.key[0]]
         self.evictable_size_ -= len(node.value)
+        self.generation += 1
 
     # -------------------------------------------------------------- locking
 
@@ -230,6 +238,10 @@ class PagedRadixCache:
     @property
     def root(self):
         return self.tree.root
+
+    @property
+    def generation(self) -> int:
+        return self.tree.generation
 
     def _chunks(self, token_ids) -> List[tuple]:
         P = self.page_size

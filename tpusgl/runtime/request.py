@@ -90,6 +90,9 @@ class Request:
         self.tail_page = None
         self.tail_len = 0
         self.tail_node = None
+        # force a fresh radix match on re-selection (the scheduler caches
+        # matches per tree generation)
+        self._match_gen = None
 
     def remaining_new_tokens(self) -> int:
         return max(0, self.max_new_tokens - len(self.output_ids))

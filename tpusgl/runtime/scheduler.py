@@ -396,7 +396,16 @@ class Scheduler:
         device step. An extension longer than prefill_chunk is admitted
         alone and runs as a chunked series. The rest of the queue is picked
         up by the next selection round (prefill-priority keeps draining it)."""
+        gen = self.tree.generation
         for req in self.waiting:
+            # Selection re-runs every scheduling round over the whole
+            # waiting queue; a request's match is unchanged (node pointers
+            # included) as long as the tree's structural generation is —
+            # skip the O(prompt) re-walk then. Also avoids LRU-touching
+            # nodes for requests that are not admitted this round.
+            if getattr(req, "_match_gen", None) == gen:
+                continue
+            req._match_gen = gen
             # Never let the cache cover the full input so at least one token
             # runs through the model (scheduler.py:264-268).
             key = req.full_ids[:-1]
@@ -408,6 +417,7 @@ class Scheduler:
                     # (upload + tree insert + re-match).
                     self._try_inject_host_pages(req, key)
                     pages = req.prefix_pages
+                    req._match_gen = self.tree.generation  # inject inserts
             else:
                 pages, req.last_node = (
                     np.empty((0,), np.int32), self.tree.root,
@@ -467,7 +477,12 @@ class Scheduler:
             self.tree.inc_lock_ref(req.tail_node)
             try:
                 new_tokens = len(req.full_ids) - req.num_cached_tokens
-                total_needed = new_tokens + req.remaining_new_tokens()
+                # Budget what allocation will actually TAKE: whole pages for
+                # the tail+extension (a token count under-admits nothing but
+                # OVER-admits groups of tiny extensions — each needs a full
+                # page — which then OOM'd in _prefill_rows).
+                alloc_now = -(-(req.tail_len + new_tokens) // self.P) * self.P
+                total_needed = alloc_now + req.remaining_new_tokens()
                 if new_tokens > chunk:
                     # Long extension: chunked series, runs alone.
                     if (
@@ -706,6 +721,24 @@ class Scheduler:
             if pages is None:
                 pages = self._alloc_pages_evicting(n_pages)
             if pages is None:
+                if rows:
+                    # Trim the group: this and all later members release
+                    # their selection locks and stay queued for the next
+                    # round (page-granular allocation can exceed the
+                    # token-denominated admission estimate; crashing the
+                    # serving loop is never the right answer when a smaller
+                    # group fits).
+                    self.req_pool.free(req_idx)
+                    idx = batch.index(req)
+                    for r2 in batch[idx:]:
+                        self.tree.dec_lock_ref(r2.last_node)
+                        if r2.tail_node is not None:
+                            self.tree.dec_lock_ref(r2.tail_node)
+                        r2.tail_node, r2.tail_len, r2.tail_page = None, 0, None
+                        # unlocked match state may be evicted before the
+                        # next round: force a fresh match
+                        r2._match_gen = None
+                    break
                 avail = (
                     self.page_pool.available_size() + self.tree.evictable_size()
                 )
@@ -761,6 +794,9 @@ class Scheduler:
         (cf. the reference's ragged concat + whole-suffix prefill,
         scheduler.py:393-407, which capped prompt length)."""
         rows = self._prefill_rows(batch)
+        # _prefill_rows may TRIM the group under page pressure; trimmed
+        # members keep waiting for the next round.
+        batch = [r[0] for r in rows]
 
         if len(rows) == 1 and rows[0][2] > self.cfg.prefill_chunk:
             req, cached, ext, own_slots = rows[0]
@@ -937,16 +973,26 @@ class Scheduler:
             return 1
         for req in batch:
             K = min(K, self.cfg.max_context_len - req.seq_len)
-        # Free-page clamp only matters when some request actually needs an
-        # allocation inside the window (preallocated rows never do).
-        if any(r.seq_len + K > r.alloc_len for r in batch):
-            K = min(
-                K, max(1, self.page_pool.available_size() // max(1, len(batch)))
-            )
         K = max(1, K)
+        K = 1 << (K.bit_length() - 1)
+        # Shrink the window until its WHOLE-PAGE allocation need fits the
+        # free list (a token-count clamp under-estimated page-boundary
+        # crossings: seq+K needing a fresh page per request could exceed the
+        # pool and crash _run_decode where K=1 would have needed nothing).
+        # Preallocated rows never allocate, so this loop is usually free.
+        P = self.P
+        avail = self.page_pool.available_pages()
+        while K > 1:
+            need = sum(
+                max(0, -(-(r.seq_len + K) // P) - r.alloc_len // P)
+                for r in batch
+            )
+            if need <= avail:
+                break
+            K >>= 1
         # Round down to a power of two: each distinct window length is its
         # own XLA executable, so the set stays {1, 2, 4, ..., decode_window}.
-        return 1 << (K.bit_length() - 1)
+        return K
 
     def _run_decode(self, batch: List[Request]) -> _Submission:
         """One fused decode program for the whole batch covering `window`
@@ -1008,7 +1054,9 @@ class Scheduler:
             samp, cmask, simple=simple,
         )
         self.metrics["decode_steps"] += 1
-        self.metrics["decode_tokens"] += B * K
+        # decode_tokens counts at COMMIT (tokens actually delivered):
+        # window tails past eos/max_new and retracted-epoch submissions
+        # roll back and must not inflate reported throughput.
         self.metrics["decode_iters"] += K
         # Iteration k reads seq_lens0 + k tokens of KV per sequence.
         self.metrics["decode_kv_token_reads"] += int(
@@ -1053,8 +1101,12 @@ class Scheduler:
         if g <= 0 or len(ids) <= n:
             return []
         key = ids[-n:]
-        # most recent earlier occurrence
-        for start in range(len(ids) - n - 1, -1, -1):
+        # Most recent earlier occurrence, scanning at most the trailing
+        # window (a full O(context) Python scan per request per step was a
+        # host hot-path cost at long context; repetition loops that
+        # prompt-lookup exploits are short-range anyway).
+        lo = max(0, len(ids) - n - 1 - 512)
+        for start in range(len(ids) - n - 1, lo - 1, -1):
             if ids[start : start + n] == key:
                 return ids[start + n : start + n + g]
         return []
@@ -1081,6 +1133,16 @@ class Scheduler:
         spec_meta = []
         max_len = 0
 
+        # Mandatory page needs of rows not yet processed: draft (optional)
+        # allocations must never consume a page a later row NEEDS for its
+        # next token — selection only guaranteed the mandatory set.
+        mandatory_after = [0] * (B + 1)
+        for i in range(B - 1, -1, -1):
+            r = batch[i]
+            mandatory_after[i] = mandatory_after[i + 1] + (
+                1 if r.seq_len >= r.alloc_len else 0
+            )
+
         for i, req in enumerate(batch):
             drafts = self._ngram_drafts(req)
             ext = 1 + len(drafts)
@@ -1088,6 +1150,13 @@ class Scheduler:
             first_new_page = req.alloc_len // P
             last_page = (req.seq_len + ext - 1) // P
             n_new = max(0, last_page - first_new_page + 1)
+            if ext > 1 and n_new > 0:
+                if (self.page_pool.available_pages() - n_new
+                        < mandatory_after[i + 1]):
+                    # degrade to plain single-token verify pre-emptively
+                    drafts, ext = [], 1
+                    last_page = (req.seq_len + ext - 1) // P
+                    n_new = max(0, last_page - first_new_page + 1)
             pages = None
             if n_new > 0:
                 pages = self._alloc_pages_evicting(n_new)
@@ -1346,6 +1415,7 @@ class Scheduler:
                 ):
                     req.finished = True
                     break
+            self.metrics["decode_tokens"] += accepted
             # accepted < K only happens via the finish break, and
             # _cache_finished frees every private page past the inserted
             # span (its tail range runs to req.seq_len, which covers this
