@@ -267,104 +267,73 @@ def _decode_kernel(
 
                 _for_block(b, blk, slot, lambda c: c.wait())
 
-                if not has_scale:
-                    kvb = bufs[slot]  # [BP*P, Hkv*2*D]
-                    valid = valid_mask(blk)  # [1 or R, N]
-                    # Matmuls run in the ACTIVATION dtype with f32 accumulate
-                    # (int8 values are exact in bf16; an f32 cast here forced
-                    # the MXU onto its ~4x slower f32 path — measured half the
-                    # kernel's time at the 7B decode geometry). Static scales
-                    # fold into sm_scale / the accumulate.
-                    mmd = q_ref.dtype
-                    k_mul = sm_scale * (
-                        k_scale if kvb.dtype == jnp.int8 and k_scale else 1.0
-                    )
-                    v_mul = (
-                        v_scale if kvb.dtype == jnp.int8 and v_scale else 1.0
-                    )
-                    m_new, l_new, acc_new = [], [], []
-                    # Static loop over kv heads: Mosaic wants plain 2D
-                    # matmuls. The minor-dim slice picks one head's K (or V)
-                    # lanes; the buffer is already flat [N, W].
-                    for h in range(Hkv):
-                        k_h = kvb[:, 2 * h * D : (2 * h + 1) * D]
-                        v_h = kvb[:, (2 * h + 1) * D : (2 * h + 2) * D]
-                        k_h = k_h.astype(mmd)
-                        v_h = v_h.astype(mmd)
-                        q_h = q_head(h)
-
-                        sc = jax.lax.dot_general(
-                            q_h, k_h,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ) * k_mul  # [G, N]
-                        sc = jnp.where(valid, sc, NEG_INF)
-
-                        m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
-                        p = jnp.exp(sc - m_h)
-                        alpha = jnp.exp(m[h] - m_h)
-                        l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
-                        pv = jax.lax.dot_general(
-                            p.astype(mmd), v_h,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )  # [G, D]
-                        m_new.append(m_h)
-                        l_new.append(l_h)
-                        acc_new.append(alpha * acc[h] + pv * v_mul)
-                    return tuple(m_new), tuple(l_new), tuple(acc_new)
-
-                # Per-token-scale path: same full-block matmuls as above,
-                # with the k/v dequant folded into the SCORE / PROB columns.
-                # The block's [1, N] scale row per (head, k/v) is assembled
-                # by lane-concatenating the BP ref-loaded [1, P] page rows
-                # (P % 128 == 0 keeps every piece lane-tile aligned; Mosaic
-                # rejects the [BP, P] -> [1, N] reshape and offset-layout
-                # value slices, hence ref loads + aligned concat).
+                # ONE online-softmax block loop for both dequant flavors
+                # (they drifted as near-duplicates once):
+                # - static scales (no has_scale): fold k_scale into the score
+                #   multiplier, v_scale into the accumulate,
+                # - per-token scales (has_scale): multiply the f32 SCORE
+                #   columns by the block's [1, N] k-scale row and the PROB
+                #   columns by the v-scale row. The scale rows are assembled
+                #   by lane-concatenating the BP ref-loaded [1, P] page rows
+                #   (P % 128 == 0 keeps every piece lane-tile aligned; Mosaic
+                #   rejects the [BP, P] -> [1, N] reshape and offset-layout
+                #   value slices, hence ref loads + aligned concat).
+                # Matmuls run in the ACTIVATION dtype with f32 accumulate
+                # (int8 values are exact in bf16; an f32 cast here forced the
+                # MXU onto its ~4x slower f32 path — measured half the
+                # kernel's time at the 7B decode geometry); per-token scales
+                # stay f32 on the f32 score/prob columns, so dequant
+                # precision is unchanged.
                 kvb = bufs[slot]  # [BP*P, Hkv*2*D]
                 valid = valid_mask(blk)  # [1 or R, N]
-                # Activation-dtype matmuls, f32 accumulate (see the no-scale
-                # branch above); the per-token scales stay f32 and multiply
-                # the f32 SCORE / PROB columns, so dequant precision is
-                # unchanged — only the int8->bf16 K/V cast feeds the MXU.
                 mmd = q_ref.dtype
-                m_new, l_new, acc_new = [], [], []
-                for h in range(Hkv):
-                    k_h = kvb[:, 2 * h * D : (2 * h + 1) * D]
-                    v_h = kvb[:, (2 * h + 1) * D : (2 * h + 2) * D]
-                    k_h = k_h.astype(mmd)
-                    v_h = v_h.astype(mmd)
-                    ks = jnp.concatenate(
-                        [sbufs[slot, i * R8 + 2 * h : i * R8 + 2 * h + 1, :]
-                         for i in range(BP)],
-                        axis=1,
-                    )  # [1, N]
-                    vs = jnp.concatenate(
-                        [sbufs[slot, i * R8 + 2 * h + 1 : i * R8 + 2 * h + 2, :]
+                is_int8 = kvb.dtype == jnp.int8
+                k_mul = sm_scale * (
+                    k_scale if not has_scale and is_int8 and k_scale else 1.0
+                )
+                v_mul = (
+                    v_scale if not has_scale and is_int8 and v_scale else 1.0
+                )
+
+                def scale_row(off):  # [1, N] f32 for (head, k/v) lane `off`
+                    return jnp.concatenate(
+                        [sbufs[slot, i * R8 + off : i * R8 + off + 1, :]
                          for i in range(BP)],
                         axis=1,
                     )
+
+                m_new, l_new, acc_new = [], [], []
+                # Static loop over kv heads: Mosaic wants plain 2D matmuls.
+                # The minor-dim slice picks one head's K (or V) lanes; the
+                # buffer is already flat [N, W].
+                for h in range(Hkv):
+                    k_h = kvb[:, 2 * h * D : (2 * h + 1) * D].astype(mmd)
+                    v_h = kvb[:, (2 * h + 1) * D : (2 * h + 2) * D].astype(mmd)
                     q_h = q_head(h)
 
                     sc = jax.lax.dot_general(
                         q_h, k_h,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ) * sm_scale  # [G, N]
-                    sc = jnp.where(valid, sc * ks, NEG_INF)
+                    ) * k_mul  # [G or R, N]
+                    if has_scale:
+                        sc = sc * scale_row(2 * h)
+                    sc = jnp.where(valid, sc, NEG_INF)
 
                     m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
                     p = jnp.exp(sc - m_h)
                     alpha = jnp.exp(m[h] - m_h)
                     l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
+                    if has_scale:
+                        p = p * scale_row(2 * h + 1)
                     pv = jax.lax.dot_general(
-                        (p * vs).astype(mmd), v_h,
+                        p.astype(mmd), v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    )  # [G, D]
+                    )  # [G or R, D]
                     m_new.append(m_h)
                     l_new.append(l_h)
-                    acc_new.append(alpha * acc[h] + pv)
+                    acc_new.append(alpha * acc[h] + pv * v_mul)
                 return tuple(m_new), tuple(l_new), tuple(acc_new)
 
             init = (
