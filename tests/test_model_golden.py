@@ -320,3 +320,50 @@ def test_qwen3_logits_match_hf(tmp_path):
     hidden, _, _ = _dense_forward(params, cfg, ids)
     ours_last = np.asarray(impl.lm_head_logits(params, cfg, hidden))
     np.testing.assert_allclose(ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4)
+
+
+def test_linear_rope_scaling_matches_hf(tmp_path):
+    """rope_scaling type 'linear' must be TRUE position scaling (HF
+    LinearScalingRotaryEmbedding divides t by the factor). A theta fold —
+    what the reference attempts at /root/reference/qwen2.py:241-243, and
+    what this repo shipped through round 3 — leaves the highest-frequency
+    dim unscaled and diverges from the checkpoint's training semantics."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    factor = 4.0
+    hf_cfg = Qwen2Config(
+        hidden_size=TINY.hidden_size,
+        num_attention_heads=TINY.num_attention_heads,
+        num_key_value_heads=TINY.num_key_value_heads,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        vocab_size=TINY.vocab_size,
+        max_position_embeddings=TINY.max_position_embeddings,
+        rope_theta=TINY.rope_theta,
+        rms_norm_eps=TINY.rms_norm_eps,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+        rope_scaling={"type": "linear", "factor": factor},
+    )
+    torch.manual_seed(1)
+    model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    out_dir = str(tmp_path / "ckpt_scaled")
+    model.save_pretrained(out_dir, safe_serialization=True)
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, rope_scaling_factor=factor)
+    assert cfg.rope_table_rows == int(TINY.max_position_embeddings * factor)
+    params = load_params(out_dir, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 24))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+    hidden, _, _ = _dense_forward(params, cfg, ids)
+    ours_last = np.asarray(qwen2.lm_head_logits(params, cfg, hidden))
+    np.testing.assert_allclose(
+        ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4
+    )

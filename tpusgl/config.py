@@ -51,6 +51,12 @@ class ModelConfig:
         return self.hidden_size // self.num_attention_heads
 
     @property
+    def rope_table_rows(self) -> int:
+        """Usable RoPE positions: linear scaling extends the range by the
+        factor (models/qwen2.precompute_rope builds this many rows)."""
+        return int(self.max_position_embeddings * max(1.0, self.rope_scaling_factor))
+
+    @property
     def q_size(self) -> int:
         return self.num_attention_heads * self.head_dim
 

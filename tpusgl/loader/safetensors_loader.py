@@ -146,20 +146,31 @@ def _np_cast(a: np.ndarray, dtype) -> np.ndarray:
     return np.ascontiguousarray(a.astype(np.dtype(dtype)))
 
 
-def int4_compatible(in_dim: int, group_size: int, tp: int) -> bool:
+def int4_compatible(
+    in_dim: int, group_size: int, tp: int, row_parallel: bool = True
+) -> bool:
     """INT4 group quantization needs every tp shard of the in-axis to hold
     whole groups (a row-sharded `gs` must split evenly). E.g. Qwen2.5-72B's
     intermediate 29568 = 231 groups of 128 cannot row-shard over tp=8 — the
-    down projection falls back to INT8 per-channel (mixed precision)."""
+    down projection falls back to INT8 per-channel (mixed precision).
+
+    Only ROW-parallel linears (o, down) shard their in-axis; column-parallel
+    qkv/gate_up shard the OUT axis, where group alignment is irrelevant —
+    applying the tp divisor to them needlessly demoted the largest matmuls
+    (gate_up) to int8 whenever hidden %% (G*tp) != 0 (e.g. 7B at tp=8)."""
+    if not row_parallel:
+        tp = 1
     return in_dim % (group_size * tp) == 0
 
 
 def _quantize_linear_np(
     w: np.ndarray, quant: Optional[QuantConfig], dtype,
-    b: Optional[np.ndarray] = None, tp: int = 1,
+    b: Optional[np.ndarray] = None, tp: int = 1, row_parallel: bool = True,
 ) -> Dict[str, np.ndarray]:
     wd = quant.weight_dtype if quant is not None else "bf16"
-    if wd == "int4" and not int4_compatible(w.shape[0], quant.group_size, tp):
+    if wd == "int4" and not int4_compatible(
+        w.shape[0], quant.group_size, tp, row_parallel
+    ):
         wd = "int8"
     if wd == "int8":
         q, s = _np_quantize_int8(w)
@@ -193,9 +204,9 @@ def layer_struct(
     def sds(shape, dt):
         return jax.ShapeDtypeStruct(shape, jnp.dtype(dt))
 
-    def lin(in_dim, out_dim, bias=False):
+    def lin(in_dim, out_dim, bias=False, row_parallel=True):
         wd = base_wd
-        if wd == "int4" and not int4_compatible(in_dim, G, tp):
+        if wd == "int4" and not int4_compatible(in_dim, G, tp, row_parallel):
             wd = "int8"
         if wd == "int8":
             d = {"w": sds((in_dim, out_dim), jnp.int8),
@@ -212,9 +223,9 @@ def layer_struct(
     layer = {
         "input_norm": sds((H,), dtype),
         "post_norm": sds((H,), dtype),
-        "qkv": lin(H, qkv_out, bias=cfg.attention_bias),
+        "qkv": lin(H, qkv_out, bias=cfg.attention_bias, row_parallel=False),
         "o": lin(cfg.q_size, H),
-        "gate_up": lin(H, 2 * I),
+        "gate_up": lin(H, 2 * I, row_parallel=False),
         "down": lin(I, H),
     }
     if cfg.qk_norm:
@@ -291,12 +302,16 @@ def _read_layer_np(
         "post_norm": _np_cast(
             reader.get(p + "post_attention_layernorm.weight"), dtype
         ),
-        "qkv": _quantize_linear_np(qkv_w, quant, dtype, b=qkv_b, tp=tp),
+        "qkv": _quantize_linear_np(
+            qkv_w, quant, dtype, b=qkv_b, tp=tp, row_parallel=False
+        ),
         "o": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "self_attn.o_proj.weight").T),
             quant, dtype, tp=tp,
         ),
-        "gate_up": _quantize_linear_np(gate_up, quant, dtype, tp=tp),
+        "gate_up": _quantize_linear_np(
+            gate_up, quant, dtype, tp=tp, row_parallel=False
+        ),
         "down": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "mlp.down_proj.weight").T),
             quant, dtype, tp=tp,
@@ -384,7 +399,7 @@ def init_params_streamed(
     def init_layer(k):
         ks = jax.random.split(k, 4)
 
-        def lin(kk, in_dim, out_dim, bias):
+        def lin(kk, in_dim, out_dim, bias, row_parallel=True):
             w = (
                 jax.random.normal(kk, (in_dim, out_dim), jnp.float32)
                 / math.sqrt(in_dim)
@@ -392,7 +407,7 @@ def init_params_streamed(
             d = {"w": w}
             lwd = wd
             if lwd == "int4" and not int4_compatible(
-                in_dim, quant.group_size, streamer.tp
+                in_dim, quant.group_size, streamer.tp, row_parallel
             ):
                 lwd = "int8"
             if lwd == "int8":
@@ -406,9 +421,10 @@ def init_params_streamed(
         layer = {
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
-            "qkv": lin(ks[0], H, qkv_out, cfg.attention_bias),
+            "qkv": lin(ks[0], H, qkv_out, cfg.attention_bias,
+                       row_parallel=False),
             "o": lin(ks[1], cfg.q_size, H, False),
-            "gate_up": lin(ks[2], H, 2 * I, False),
+            "gate_up": lin(ks[2], H, 2 * I, False, row_parallel=False),
             "down": lin(ks[3], I, H, False),
         }
         if streamer.tp > 1:
@@ -471,7 +487,8 @@ def quantize_params(
             lin = layer[name]
             wd = quant.weight_dtype
             if wd == "int4" and not int4_compatible(
-                lin["w"].shape[0], quant.group_size, tp
+                lin["w"].shape[0], quant.group_size, tp,
+                row_parallel=name in ("o", "down"),
             ):
                 wd = "int8"
             layer[name] = q4(lin) if wd == "int4" else q8(lin)
@@ -484,9 +501,18 @@ def save_params_hf_layout(
     params: Dict[str, Any], cfg: ModelConfig, out_dir: str
 ) -> None:
     """Write params as an HF-layout safetensors checkpoint (tests use this to
-    round-trip the loader without network access)."""
+    round-trip the loader without network access). Full-precision trees
+    only: quantized params would serialize raw int codes as weights
+    (dropping scales) — a checkpoint that loads cleanly elsewhere and
+    produces nonsense."""
     from safetensors.numpy import save_file
 
+    for lin in params["layers"][0].values():
+        if isinstance(lin, dict) and ("s" in lin or "w4" in lin or "gs" in lin):
+            raise ValueError(
+                "save_params_hf_layout writes full-precision checkpoints; "
+                "got quantized params (int8/int4) — save the source weights"
+            )
     os.makedirs(out_dir, exist_ok=True)
     q, kv, inter = cfg.q_size, cfg.kv_size, cfg.intermediate_size
     tensors: Dict[str, np.ndarray] = {}

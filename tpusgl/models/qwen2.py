@@ -38,11 +38,21 @@ Params = Dict[str, Any]
 
 
 def precompute_rope(cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """cos/sin tables [max_pos, head_dim//2] in fp32."""
-    base = cfg.rope_theta * cfg.rope_scaling_factor  # linear scaling fold
+    """cos/sin tables [rows, head_dim//2] in fp32.
+
+    rope_scaling "linear" is TRUE position scaling (every frequency divided
+    by the factor — HF LinearScalingRotaryEmbedding's t/factor), and the
+    table is extended to factor * max_position_embeddings rows, the usable
+    range linear scaling buys. (The reference folds the factor into theta,
+    /root/reference/qwen2.py:241-243 — and even that fold is dead there,
+    inv_freq is built from the unscaled `base` at :247; neither matches the
+    HF semantics a scaled checkpoint was trained for.)"""
     d = cfg.head_dim
-    inv_freq = 1.0 / (base ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
-    pos = jnp.arange(cfg.max_position_embeddings, dtype=jnp.float32)
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    inv_freq = inv_freq / cfg.rope_scaling_factor
+    pos = jnp.arange(cfg.rope_table_rows, dtype=jnp.float32)
     freqs = jnp.outer(pos, inv_freq)
     return jnp.cos(freqs), jnp.sin(freqs)
 
@@ -207,7 +217,7 @@ def forward_hidden(
     axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, tuple]:
     """Run the decoder stack; returns (hidden [B, S, H] after final norm,
-    kv_k', kv_v').
+    updated per-layer kv tuple).
 
     Layers are python-unrolled over the per-layer weight trees and each layer
     updates its own KV buffer with a canonical in-place scatter. A lax.scan

@@ -62,6 +62,15 @@ class Engine:
     ):
         self.model_cfg = model_cfg or resolve_model_config(model_id)
         self.cfg = engine_cfg or EngineConfig.from_env()
+        if self.cfg.max_context_len > self.model_cfg.rope_table_rows:
+            # Positions past the RoPE table would silently clamp to its last
+            # row (every long-context token sharing one rotary phase) —
+            # garbage output with no error. Fail loudly instead.
+            raise ValueError(
+                f"max_context_len {self.cfg.max_context_len} exceeds the "
+                f"model's usable RoPE range {self.model_cfg.rope_table_rows} "
+                "(max_position_embeddings x linear-scaling factor)"
+            )
         self.tokenizer = tokenizer if tokenizer is not None else _maybe_tokenizer(model_id)
 
         # Pallas fused dequant+matmul for quantized weights (TPU only; the

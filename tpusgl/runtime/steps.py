@@ -517,7 +517,7 @@ class StepFunctions:
 
                 kv_rows = rows_from_pages(page_tbl, kv_len, P)
             positions = seq_lens[:, None] - S + jnp.arange(S, dtype=jnp.int32)[None, :]
-            positions = jnp.clip(positions, 0, cfg.max_position_embeddings - 1)
+            positions = jnp.clip(positions, 0, cfg.rope_table_rows - 1)
             meta = AttnMeta(
                 kv_rows=kv_rows,
                 seq_lens=seq_lens,
@@ -600,7 +600,7 @@ class StepFunctions:
         ) -> Tuple[EngineState, jnp.ndarray]:
             B, S = input_ids.shape
             positions = prefix_len[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
-            positions = jnp.minimum(positions, cfg.max_position_embeddings - 1)
+            positions = jnp.minimum(positions, cfg.rope_table_rows - 1)
             ext_len = seq_len - prefix_len
             meta = AttnMeta(
                 kv_rows=None,
