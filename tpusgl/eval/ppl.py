@@ -63,14 +63,23 @@ def compute_ppl(
     attn_impl=chunked_attention,
 ) -> float:
     N, S = windows.shape
-    fn = _window_nll_fn(cfg, batch_size, S, attn_impl)
+    assert N > 0, "compute_ppl needs at least one window"
+    # Every window is scored: the final partial batch runs through a
+    # tail-sized program. (An earlier version dropped the N % batch_size
+    # tail — and with N < batch_size scored NOTHING, returning PPL 1.0 and
+    # passing the quantization gate vacuously.)
+    fns = {}
     total, count = 0.0, 0
-    for start in range(0, N - N % batch_size, batch_size):
-        ids = jnp.asarray(windows[start : start + batch_size], jnp.int32)
-        nll, n = fn(params, ids)
+    for start in range(0, N, batch_size):
+        chunk = windows[start : start + batch_size]
+        B = chunk.shape[0]
+        if B not in fns:
+            fns[B] = _window_nll_fn(cfg, B, S, attn_impl)
+        nll, n = fns[B](params, jnp.asarray(chunk, jnp.int32))
         total += float(nll)
         count += int(n)
-    return float(np.exp(total / max(1, count)))
+    assert count > 0
+    return float(np.exp(total / count))
 
 
 def load_corpus(path: str, tokenizer, window: int = 512, limit: Optional[int] = None) -> np.ndarray:
@@ -98,6 +107,11 @@ def synthetic_corpus(
     )
     outs = engine.scheduler.run_batch(prompts, sp)
     engine.reset()
-    return np.asarray(
-        [p + o for p, o in zip(prompts, outs)], np.int32
-    )
+    rows = [p + o for p, o in zip(prompts, outs)]
+    short = min(len(r) for r in rows)
+    if short < window:
+        # A context-window clamp can cap generation below the target; keep
+        # rows rectangular (ragged lists crash np.asarray) at the common
+        # length rather than crashing the zero-egress fallback.
+        rows = [r[:short] for r in rows]
+    return np.asarray(rows, np.int32)

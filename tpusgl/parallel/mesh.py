@@ -34,6 +34,16 @@ def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     assert dp * tp <= len(devices), (dp, tp, len(devices))
+    if jax.process_count() > 1 and dp * tp != len(devices):
+        # A device-SUBSET mesh is fine single-process (tests carve small
+        # meshes out of the 8 virtual devices), but multi-process it would
+        # silently exclude whole hosts' chips — their processes then jit
+        # programs over a mesh containing none of their addressable devices
+        # and hang/crash far from the cause. Fail loudly here instead.
+        raise ValueError(
+            f"multi-process mesh must cover every global device: "
+            f"dp*tp = {dp * tp} vs {len(devices)} devices"
+        )
     arr = np.array(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 

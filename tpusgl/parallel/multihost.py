@@ -36,6 +36,9 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+_initialized = False
+
+
 def init_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -46,25 +49,52 @@ def init_multihost(
     Explicit args win; otherwise standard cluster env vars
     (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a TPU
     pod's own metadata, which jax.distributed.initialize auto-detects).
-    Returns True when a multi-process runtime was initialized.
+    Returns True when a multi-process runtime is active.
+
+    ORDERING MATTERS: jax.distributed.initialize must run before anything
+    initializes the XLA backend — including jax.process_count(). When the
+    caller opts in (explicit args or env), this function therefore calls
+    initialize FIRST and only queries process state afterwards. (An earlier
+    version probed jax.process_count() up front, which itself initialized
+    the backend and made every real multi-process bootstrap raise.)
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
-    # Opt-in only: explicit coordinator args or the standard env rendezvous
+    global _initialized
+    # Opt-in only: explicit rendezvous args or the standard env rendezvous
     # (cf. the reference's RANK/WORLD_SIZE bootstrap, tp_runtime.py:11-13).
     # Pod auto-detection is deliberately NOT attempted here — single-host
     # environments can carry TPU metadata env vars.
-    want = coordinator_address is not None or "JAX_COORDINATOR_ADDRESS" in os.environ
+    want = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+    )
     if not want:
-        return False
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs["coordinator_address"] = coordinator_address
-    if num_processes is not None:
-        kwargs["num_processes"] = num_processes
-    if process_id is not None:
-        kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+        # Safe to touch the backend on the opt-out path; reflects whatever
+        # the caller may have bootstrapped directly.
+        return jax.process_count() > 1
+    if not _initialized:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs["coordinator_address"] = coordinator_address
+        if num_processes is not None:
+            kwargs["num_processes"] = num_processes
+        if process_id is not None:
+            kwargs["process_id"] = process_id
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:
+            # Either the caller already ran initialize themselves (fine) or
+            # the backend was touched first (fatal) — distinguish below.
+            logger.info("jax.distributed.initialize: %s", e)
+        _initialized = True
+    if num_processes is not None and jax.process_count() != num_processes:
+        raise RuntimeError(
+            f"multi-host bootstrap failed: expected {num_processes} "
+            f"processes, runtime has {jax.process_count()}. "
+            "init_multihost (or jax.distributed.initialize) must run before "
+            "ANY other JAX API call in the process."
+        )
     logger.info(
         "multihost: process %d/%d, %d local / %d global devices",
         jax.process_index(), jax.process_count(),

@@ -309,11 +309,10 @@ class Engine:
         # Sub-page tail copy program (scheduler._prefill_rows): padding pairs
         # are (0, 0) — the dummy page copied onto itself.
         if copy and cfg.page_size > 1:
+            if self.steps._copy_jit is None:
+                self.steps._copy_jit = self.steps._make_copy_jit()
+            fn = self.steps._copy_jit
             for nb in (1, 2, 4, 8):
-                fn = self.steps._copy_jit.get(nb)
-                if fn is None:
-                    fn = self.steps._make_copy_jit(nb)
-                    self.steps._copy_jit[nb] = fn
                 to_warm.append((
                     fn,
                     (avatar(sched.state.kv), avatar(sched.state.kv_scale),

@@ -80,9 +80,11 @@ class StepFunctions:
         self.mesh = mesh
         self._decode_jit = {}
         self._prefill_jit = {}
-        self._copy_jit = {}
-        self._extract_jit = {}
-        self._inject_jit = {}
+        # Built lazily; jax.jit's own shape cache handles the pow2 padded
+        # sizes (these were once size-keyed dicts duplicating that cache).
+        self._copy_jit = None
+        self._extract_jit = None
+        self._inject_jit = None
 
         # Inner pjit around the decoder stack: a decode window calls the
         # forward at `window` identical-aval sites (and every window/sampling
@@ -169,7 +171,7 @@ class StepFunctions:
 
     # -------------------------------------------------------------- page copy
 
-    def _make_copy_jit(self, n: int):
+    def _make_copy_jit(self):
         """Jitted whole-page KV copy (sub-page radix reuse,
         scheduler._prefill_rows): for each (src, dst) page pair, copy the
         page's pool rows (and int8 scale rows) src -> dst. Only the matched
@@ -230,16 +232,14 @@ class StepFunctions:
         dst = np.zeros((nb,), np.int32)
         src[:n] = src_pages
         dst[:n] = dst_pages
-        fn = self._copy_jit.get(nb)
-        if fn is None:
-            fn = self._make_copy_jit(nb)
-            self._copy_jit[nb] = fn
-        kv, kv_scale = fn(state.kv, state.kv_scale, src, dst)
+        if self._copy_jit is None:
+            self._copy_jit = self._make_copy_jit()
+        kv, kv_scale = self._copy_jit(state.kv, state.kv_scale, src, dst)
         return state._replace(kv=kv, kv_scale=kv_scale)
 
     # ------------------------------------------------- host-cache page I/O
 
-    def _make_extract_jit(self, n: int):
+    def _make_extract_jit(self):
         """Jitted gather of whole pages out of every layer's pool into one
         compact array pair ([n, L, P, W] pool-dtype, [n, L, R8, P] f32 or
         None) — the device side of spilling radix-evicted pages to the host
@@ -292,7 +292,7 @@ class StepFunctions:
             )
         )
 
-    def _make_inject_jit(self, n: int):
+    def _make_inject_jit(self):
         """Jitted scatter of host-reloaded pages back into the pools
         (shard_map under tp — see _make_extract_jit)."""
         P = self.engine_cfg.page_size
@@ -351,11 +351,9 @@ class StepFunctions:
         nb = 1 << (n - 1).bit_length() if n > 1 else 1
         arr = np.zeros((nb,), np.int32)
         arr[:n] = pages
-        fn = self._extract_jit.get(nb)
-        if fn is None:
-            fn = self._make_extract_jit(nb)
-            self._extract_jit[nb] = fn
-        data, sc = fn(state.kv, state.kv_scale, arr)
+        if self._extract_jit is None:
+            self._extract_jit = self._make_extract_jit()
+        data, sc = self._extract_jit(state.kv, state.kv_scale, arr)
         return data[:n], (sc[:n] if sc is not None else None)
 
     def inject_pages(self, state: EngineState, pages, data, sc) -> EngineState:
@@ -375,11 +373,9 @@ class StepFunctions:
             if sc.shape[0] != nb:
                 pad = np.zeros((nb - n,) + sc.shape[1:], sc.dtype)
                 sc = np.concatenate([sc, pad], axis=0)
-        fn = self._inject_jit.get(nb)
-        if fn is None:
-            fn = self._make_inject_jit(nb)
-            self._inject_jit[nb] = fn
-        kv, kv_scale = fn(state.kv, state.kv_scale, arr, data, sc)
+        if self._inject_jit is None:
+            self._inject_jit = self._make_inject_jit()
+        kv, kv_scale = self._inject_jit(state.kv, state.kv_scale, arr, data, sc)
         return state._replace(kv=kv, kv_scale=kv_scale)
 
     def _decode_meta(self, page_tbl, seq_lens, out_loc_step, kv_len: int):
