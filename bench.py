@@ -134,7 +134,12 @@ def main() -> None:
     # slack: without it, requests nearing a context-row boundary truncate the
     # whole batch's decode window (avg window 5.5/8 on the round-3 run —
     # more dispatches and more programs for no benefit).
-    max_requests = args.max_requests or min(args.num_seqs, 256)
+    if args.prefill_budget < 128:
+        parser_error = "--prefill-budget must be >= 128 (smallest bucket)"
+        raise SystemExit(parser_error)
+    if args.max_requests < 1:
+        raise SystemExit("--max-requests must be >= 1")
+    max_requests = args.max_requests
     # Per-token-scale INT8 KV needs 128-token pages on the compiled kernel
     # (Mosaic lane-slice tiling, ops/paged_attention.py). 1024-token DMA
     # blocks (pages_per_block x page_size) amortize per-block kernel
@@ -210,6 +215,7 @@ def main() -> None:
     # ---- Warmup: AOT-compile + pre-dispatch exactly the program set this
     # workload can reach (bench.py docstring stage 1; VERDICT r3 #4).
     max_ext = max(len(p) for p in prompts)
+    chunked_prompts = max_ext > ecfg.prefill_chunk
     if args.mode == "prefix":
         # radix hits shrink extensions to anywhere in [1, prompt_len];
         # longer-than-largest-bucket extensions run chunked, so cap there
@@ -218,21 +224,35 @@ def main() -> None:
                           ecfg.prefill_len_buckets)
         buckets = [b for b in ecfg.prefill_len_buckets if b <= top]
     else:
+        # cap at the chunk size: longer prompts run as chunked [1, chunk]
+        # series (no hard length cap — the scheduler chunks them)
         buckets = sorted({
-            pick_bucket(n, ecfg.prefill_len_buckets)
+            pick_bucket(min(n, ecfg.prefill_chunk), ecfg.prefill_len_buckets)
             for n in range(min(len(p) for p in prompts), max_ext + 1)
         })
+    # Chunked continuations run the has_prefix prefill variant; warm the
+    # prefix-length buckets their growing computed prefix will hit.
+    prefix_buckets = None
+    want_prefix = args.mode == "prefix" or chunked_prompts
+    if want_prefix:
+        max_prefix = min(ecfg.max_context_len,
+                         max_ext + 32 + args.max_new_tokens)
+        prefix_buckets, b = [], ecfg.kv_len_bucket
+        while b < max_prefix:
+            prefix_buckets.append(b)
+            b <<= 1
+        prefix_buckets.append(min(b, ecfg.max_context_len))
     print(f"warmup (prefill buckets {buckets})...", file=sys.stderr)
     t0 = time.perf_counter()
     engine.warmup(
         simple=True,  # greedy (spec mode) and plain sampling both qualify
         prefill_buckets=buckets,
-        # prefix programs / page-copy programs are only reachable when radix
-        # reuse can match something (prefix mode); the flagship workload is
-        # random tokens and never hits them.
-        prefix=(args.mode == "prefix"),
-        # device prefixes reach shared-prefix + full replayed conversations
-        prefix_buckets=(512, 1024, 2048) if args.mode == "prefix" else None,
+        # Prefix programs are reachable via radix hits (prefix mode) and via
+        # chunked-prefill continuations (prompts longer than the chunk);
+        # page-copy programs only via sub-page radix reuse. The flagship
+        # workload (random tokens, chunk-sized prompts) hits neither.
+        prefix=want_prefix,
+        prefix_buckets=prefix_buckets,
         copy=(args.mode == "prefix"),
     )
     # Mini real run: absorbs the one-time first-real-execution stall the

@@ -353,7 +353,9 @@ def test_linear_rope_scaling_matches_hf(tmp_path):
 
     import dataclasses
 
-    cfg = dataclasses.replace(TINY, rope_scaling_factor=factor)
+    cfg = dataclasses.replace(
+        TINY, rope_scaling_type="linear", rope_scaling_factor=factor
+    )
     assert cfg.rope_table_rows == int(TINY.max_position_embeddings * factor)
     params = load_params(out_dir, cfg, dtype=jnp.float32)
 
@@ -367,3 +369,72 @@ def test_linear_rope_scaling_matches_hf(tmp_path):
     np.testing.assert_allclose(
         ours_last, hf_logits[:, -1, :], rtol=2e-4, atol=2e-4
     )
+
+
+def test_llama3_rope_scaling_matches_hf(tmp_path):
+    """HF rope_scaling {'rope_type': 'llama3'} (Llama-3.1 checkpoints):
+    frequency-dependent scaling — low-frequency dims fully interpolated,
+    high-frequency dims untouched, smooth band between. Must match HF's
+    LlamaForCausalLM logits; the modern 'rope_type' key (not legacy 'type')
+    must parse."""
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    rs = {
+        "rope_type": "llama3",
+        "factor": 4.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 64,
+    }
+    hf_cfg = LlamaConfig(
+        hidden_size=TINY.hidden_size,
+        num_attention_heads=TINY.num_attention_heads,
+        num_key_value_heads=TINY.num_key_value_heads,
+        intermediate_size=TINY.intermediate_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        vocab_size=TINY.vocab_size,
+        max_position_embeddings=256,  # llama3 configs state the EXTENDED len
+        rope_theta=TINY.rope_theta,
+        rms_norm_eps=TINY.rms_norm_eps,
+        tie_word_embeddings=False,
+        attention_bias=False,
+        attention_dropout=0.0,
+        rope_scaling=rs,
+        mlp_bias=False,
+    )
+    torch.manual_seed(2)
+    model = LlamaForCausalLM(hf_cfg).eval().float()
+    out_dir = str(tmp_path / "ckpt_llama3")
+    model.save_pretrained(out_dir, safe_serialization=True)
+
+    from tpusgl.config import ModelConfig
+
+    cfg = ModelConfig.from_json(out_dir + "/config.json")
+    assert cfg.architecture == "llama"
+    assert cfg.rope_scaling_type == "llama3"
+    assert cfg.rope_table_rows == 256
+    params = load_params(out_dir, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 96))  # past orig 64
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+    hidden, _, _ = _dense_forward(params, cfg, ids)
+    ours_last = np.asarray(qwen2.lm_head_logits(params, cfg, hidden))
+    np.testing.assert_allclose(
+        ours_last, hf_logits[:, -1, :], rtol=3e-4, atol=3e-4
+    )
+
+
+def test_unsupported_rope_type_raises():
+    from tpusgl.config import ModelConfig
+
+    with pytest.raises(ValueError, match="rope_scaling"):
+        ModelConfig.from_hf_dict({
+            "hidden_size": 64, "num_attention_heads": 4,
+            "intermediate_size": 128, "num_hidden_layers": 2,
+            "vocab_size": 256,
+            "rope_scaling": {"rope_type": "yarn", "factor": 2.0},
+        })

@@ -35,7 +35,16 @@ class ModelConfig:
     hidden_act: str = "silu"
     max_position_embeddings: int = 32768
     rope_theta: float = 1000000.0
-    rope_scaling_factor: float = 1.0  # "linear" scaling folds into theta, like ref
+    # RoPE scaling (HF rope_scaling): "none", "linear" (true position
+    # scaling, factor extends the range), or "llama3" (frequency-dependent;
+    # max_position_embeddings is already the extended value in those
+    # configs). Unsupported types raise at config parse — silent dropping
+    # produced garbage past the original context.
+    rope_scaling_type: str = "none"
+    rope_scaling_factor: float = 1.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: Optional[int] = None
     tie_word_embeddings: bool = False
     attention_bias: bool = True  # Qwen2 uses bias on QKV only
     architecture: str = "qwen2"
@@ -52,9 +61,15 @@ class ModelConfig:
 
     @property
     def rope_table_rows(self) -> int:
-        """Usable RoPE positions: linear scaling extends the range by the
-        factor (models/qwen2.precompute_rope builds this many rows)."""
-        return int(self.max_position_embeddings * max(1.0, self.rope_scaling_factor))
+        """Usable RoPE positions (models/qwen2.precompute_rope builds this
+        many rows): linear scaling extends the range by the factor; llama3
+        configs already state the EXTENDED length in
+        max_position_embeddings."""
+        if self.rope_scaling_type == "linear":
+            return int(
+                self.max_position_embeddings * max(1.0, self.rope_scaling_factor)
+            )
+        return self.max_position_embeddings
 
     @property
     def q_size(self) -> int:
@@ -68,9 +83,36 @@ class ModelConfig:
     def from_hf_dict(cls, cfg: Dict[str, Any]) -> "ModelConfig":
         """Build from a HuggingFace config.json dict (no network needed)."""
         rope_scaling = cfg.get("rope_scaling") or {}
-        factor = 1.0
-        if rope_scaling.get("type") == "linear":
-            factor = float(rope_scaling.get("factor", 1.0))
+        # modern HF writes "rope_type"; older checkpoints "type"
+        rtype = rope_scaling.get("rope_type") or rope_scaling.get("type")
+        factor = float(rope_scaling.get("factor", 1.0))
+        rope_kwargs: Dict[str, Any] = {}
+        if rtype in (None, "default"):
+            pass
+        elif rtype == "linear":
+            rope_kwargs = {
+                "rope_scaling_type": "linear", "rope_scaling_factor": factor,
+            }
+        elif rtype == "llama3":
+            rope_kwargs = {
+                "rope_scaling_type": "llama3",
+                "rope_scaling_factor": factor,
+                "rope_low_freq_factor": float(
+                    rope_scaling.get("low_freq_factor", 1.0)
+                ),
+                "rope_high_freq_factor": float(
+                    rope_scaling.get("high_freq_factor", 4.0)
+                ),
+                "rope_original_max_position": int(
+                    rope_scaling.get("original_max_position_embeddings", 8192)
+                ),
+            }
+        else:
+            # yarn/dynamic/...: refusing beats silently-wrong rotary phases
+            raise ValueError(
+                f"unsupported rope_scaling type {rtype!r}; "
+                "supported: linear, llama3"
+            )
         arch = (cfg.get("architectures") or ["Qwen2ForCausalLM"])[0]
         arch_key = {
             "Qwen2ForCausalLM": "qwen2",
@@ -78,6 +120,7 @@ class ModelConfig:
             "Qwen3ForCausalLM": "qwen3",
         }.get(arch, "qwen2")
         return cls(
+            **rope_kwargs,
             head_dim_override=cfg.get("head_dim"),
             qk_norm=arch_key == "qwen3",
             hidden_size=cfg["hidden_size"],
@@ -92,7 +135,6 @@ class ModelConfig:
             hidden_act=cfg.get("hidden_act", "silu"),
             max_position_embeddings=cfg.get("max_position_embeddings", 32768),
             rope_theta=cfg.get("rope_theta", 1000000.0),
-            rope_scaling_factor=factor,
             tie_word_embeddings=cfg.get("tie_word_embeddings", False),
             attention_bias=cfg.get("attention_bias", arch_key == "qwen2"),
             architecture=arch_key,

@@ -43,7 +43,10 @@ def precompute_rope(cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     rope_scaling "linear" is TRUE position scaling (every frequency divided
     by the factor — HF LinearScalingRotaryEmbedding's t/factor), and the
     table is extended to factor * max_position_embeddings rows, the usable
-    range linear scaling buys. (The reference folds the factor into theta,
+    range linear scaling buys. "llama3" is HF's frequency-dependent rule
+    (_compute_llama3_parameters): low-frequency dims divide by the factor,
+    high-frequency dims stay, the band between interpolates smoothly.
+    (The reference folds linear scaling into theta,
     /root/reference/qwen2.py:241-243 — and even that fold is dead there,
     inv_freq is built from the unscaled `base` at :247; neither matches the
     HF semantics a scaled checkpoint was trained for.)"""
@@ -51,7 +54,27 @@ def precompute_rope(cfg: ModelConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     )
-    inv_freq = inv_freq / cfg.rope_scaling_factor
+    if cfg.rope_scaling_type == "linear":
+        inv_freq = inv_freq / cfg.rope_scaling_factor
+    elif cfg.rope_scaling_type == "llama3":
+        factor = cfg.rope_scaling_factor
+        orig = float(cfg.rope_original_max_position or 8192)
+        low_wl = orig / cfg.rope_low_freq_factor
+        high_wl = orig / cfg.rope_high_freq_factor
+        wavelen = 2.0 * jnp.pi / inv_freq
+        smooth = (orig / wavelen - cfg.rope_low_freq_factor) / (
+            cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+        )
+        scaled = jnp.where(
+            wavelen > low_wl,
+            inv_freq / factor,  # long wavelengths: fully interpolated
+            jnp.where(
+                wavelen < high_wl,
+                inv_freq,  # short wavelengths: untouched
+                (1.0 - smooth) * inv_freq / factor + smooth * inv_freq,
+            ),
+        )
+        inv_freq = scaled
     pos = jnp.arange(cfg.rope_table_rows, dtype=jnp.float32)
     freqs = jnp.outer(pos, inv_freq)
     return jnp.cos(freqs), jnp.sin(freqs)

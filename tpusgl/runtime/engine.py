@@ -216,7 +216,6 @@ class Engine:
         import numpy as np
 
         from tpusgl.ops.sampling import SamplingArrays
-        from tpusgl.utils.bucketing import round_up
 
         cfg = self.cfg
         sched = self.scheduler
@@ -280,17 +279,28 @@ class Engine:
                 ws = sorted(ws)
             else:
                 ws = sorted(set(windows))
+            # The Pallas paged kernel serves every context length with ONE
+            # executable (get_decode_jit collapses kv_len); the jnp fallback
+            # keys executables by kv bucket, so warm each bucket there too.
+            if self.steps.paged_kernel:
+                kv_lens = [cfg.max_context_len]
+            else:
+                kv_lens = list(range(
+                    cfg.kv_len_bucket, cfg.max_context_len + 1,
+                    cfg.kv_len_bucket,
+                )) or [cfg.max_context_len]
             for K in ws:
-                kv_len = min(round_up(K, cfg.kv_len_bucket), cfg.max_context_len)
-                fn = self.steps.get_decode_jit(Bb, kv_len, K, False, s)
-                to_warm.append((
-                    fn,
-                    (params_av, state_av, i32(Bb), i32(Bb), i32(Bb, K),
-                     i32(Bb, cfg.pages_per_seq),
-                     avatar(SamplingArrays.full(Bb)), None),
-                    (np.full((Bb,), R, np.int32), z(Bb), z(Bb, K),
-                     z(Bb, cfg.pages_per_seq), SamplingArrays.full(Bb), None),
-                ))
+                for kv_len in kv_lens:
+                    fn = self.steps.get_decode_jit(Bb, kv_len, K, False, s)
+                    to_warm.append((
+                        fn,
+                        (params_av, state_av, i32(Bb), i32(Bb), i32(Bb, K),
+                         i32(Bb, cfg.pages_per_seq),
+                         avatar(SamplingArrays.full(Bb)), None),
+                        (np.full((Bb,), R, np.int32), z(Bb), z(Bb, K),
+                         z(Bb, cfg.pages_per_seq), SamplingArrays.full(Bb),
+                         None),
+                    ))
 
         if verify:
             Bb = cfg.decode_bs_buckets[-1]

@@ -16,6 +16,8 @@ def round_up(x: int, m: int) -> int:
 
 def pick_bucket(x: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= x; buckets must be sorted ascending."""
+    if not buckets:
+        raise ValueError("empty bucket list")
     for b in buckets:
         if x <= b:
             return b
