@@ -106,8 +106,8 @@ def test_paged_decode_per_token_kv_scales():
 
     kv_f = jnp.asarray(rng.normal(size=(rows_total, Hkv * 2 * D)), jnp.float32)
     # Quantize the full pool through write_kv's per-token path.
-    k_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 0, :][None]
-    v_all = kv_f.reshape(rows_total, Hkv, 2, D)[:, :, 1, :][None]
+    k_all = kv_f.reshape(rows_total, 2, Hkv, D)[:, 0][None]
+    v_all = kv_f.reshape(rows_total, 2, Hkv, D)[:, 1][None]
     from tpusgl.ops.attention import scale_rows_per_page
 
     pair = (

@@ -44,10 +44,15 @@ def make_kv_pool(num_layers, num_slots, num_kv_heads, head_dim, dtype,
     """Allocate the paged KV pool: per-layer tuple of
     [(num_pages + 1) * page_size, Hkv*2*D] where num_pages = slots//page_size.
 
-    K and V are interleaved per head ([h, {k,v}, D] in the minor dim) so one
-    row gather fetches both (XLA's TPU row gather costs ~0.25 ms per call at
-    this batch geometry — halving the gather count halves that), and a
-    tp shard of the minor dim still owns whole heads with their K and V.
+    K and V share each row ([{k,v}, h, D] in the minor dim: all K heads in
+    the first half, all V heads in the second) so one row gather fetches both
+    (XLA's TPU row gather costs ~0.25 ms per call at this batch geometry —
+    halving the gather count halves that). The split-half (not interleaved)
+    order lets the Pallas decode kernel slice ALL heads' K (or V) as one
+    contiguous [N, Hkv*D] block and run a single merged-heads matmul per
+    block (see paged_attention.py — the kernel is serial-op-bound at short
+    context, not byte-bound). Every pool consumer runs on LOCAL shards under
+    shard_map, so a tp shard's half-split covers exactly its own heads.
 
     The allocator (runtime/memory_pool.PagePool) hands out whole pages —
     page_size contiguous rows starting at a page_size-aligned row — so the
@@ -112,6 +117,8 @@ def write_kv(
     (memory_pool.py:55-59, 139-147) with a working INT8 KV path."""
     B, S, Hkv, D = k_new.shape
     flat_loc = out_loc.reshape(-1)
+    # Pool row layout is [{k,v}, h, D] (K half, V half — see make_kv_pool);
+    # internal tensors stay [Hkv, 2, D] and only the flatten permutes.
     rows = jnp.stack([k_new, v_new], axis=3)  # [B, S, Hkv, 2, D]
     if isinstance(kv_l, tuple):
         buf, sc = kv_l
@@ -129,7 +136,8 @@ def write_kv(
         # only by padding and never read unmasked, and the flag keeps XLA off
         # the slow duplicate-combining scatter path.
         buf = buf.at[flat_loc].set(
-            q.reshape(-1, Hkv * 2 * D), mode="drop", unique_indices=True
+            q.swapaxes(1, 2).reshape(-1, Hkv * 2 * D),
+            mode="drop", unique_indices=True,
         )
         sval = scale[..., 0].astype(jnp.float32)  # [N, Hkv, 2]
         if S == 1:
@@ -145,7 +153,9 @@ def write_kv(
             sc3 = sc.reshape(-1, R8, P)
             blocks = sc3[pid]  # [N, R8, P]
             upd = jnp.zeros((N, R8), jnp.float32)
-            upd = upd.at[:, : 2 * Hkv].set(sval.reshape(N, 2 * Hkv))
+            upd = upd.at[:, : 2 * Hkv].set(
+                sval.swapaxes(1, 2).reshape(N, 2 * Hkv)
+            )
             colmask = (
                 jax.lax.broadcasted_iota(jnp.int32, (N, 1, P), 2)
                 == off[:, None, None]
@@ -162,8 +172,9 @@ def write_kv(
             )
         return (buf, sc)
     return kv_l.at[flat_loc].set(
-        rows.reshape(-1, Hkv * 2 * D).astype(kv_l.dtype), mode="drop",
-        unique_indices=True,
+        rows.swapaxes(2, 3).reshape(B, S, Hkv * 2 * D).reshape(-1, Hkv * 2 * D)
+        .astype(kv_l.dtype),
+        mode="drop", unique_indices=True,
     )
 
 
@@ -177,8 +188,11 @@ def scale_row(pid: jnp.ndarray, Hkv: int, R8: int) -> jnp.ndarray:
     """Row indices of the (head, k/v) scales for page ids `pid`, in the
     scale pool [(num_pages+1) * R8, P].
 
-    Layout: page p owns rows [p*R8, (p+1)*R8); row p*R8 + 2h+kv holds head
-    h's k (or v) scales with the token offset as the lane index. The page
+    Layout: page p owns rows [p*R8, (p+1)*R8); row p*R8 + kv*Hkv + h holds
+    head h's k (kv=0) or v (kv=1) scales with the token offset as the lane
+    index — all K rows first, then all V rows, mirroring the split-half KV
+    row layout so the decode kernel slices each side's [Hkv, P] block
+    contiguously. The page
     block is 8-row aligned (R8 % 8 == 0) and P lanes wide, which is what the
     Pallas kernel's DMA needs (Mosaic requires sublane slices in 8-row
     multiples and lane slices in 128-lane multiples — hence
@@ -189,7 +203,7 @@ def scale_row(pid: jnp.ndarray, Hkv: int, R8: int) -> jnp.ndarray:
     """
     h = jnp.arange(Hkv, dtype=jnp.int32)[None, :, None]
     kv = jnp.arange(2, dtype=jnp.int32)[None, None, :]
-    return pid.astype(jnp.int32)[:, None, None] * R8 + 2 * h + kv
+    return pid.astype(jnp.int32)[:, None, None] * R8 + kv * Hkv + h
 
 
 def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
@@ -200,13 +214,13 @@ def gather_kv(kv_l, rows: jnp.ndarray, Hkv: int, D: int):
         buf, sc = kv_l
         P = sc.shape[1]
         R8 = scale_rows_per_page(Hkv)
-        g = buf[rows].reshape(B, T, Hkv, 2, D).astype(jnp.float32)
+        g = buf[rows].reshape(B, T, 2, Hkv, D).swapaxes(2, 3).astype(jnp.float32)
         srow = scale_row((rows // P).reshape(-1), Hkv, R8)  # [B*T, Hkv, 2]
         s = sc[srow, (rows % P).reshape(-1)[:, None, None]]
         g = g * s.reshape(B, T, Hkv, 2, 1)
         return g[:, :, :, 0, :], g[:, :, :, 1, :]
-    g = kv_l[rows].reshape(B, T, Hkv, 2, D)
-    return g[:, :, :, 0, :], g[:, :, :, 1, :]
+    g = kv_l[rows].reshape(B, T, 2, Hkv, D)
+    return g[:, :, 0], g[:, :, 1]
 
 
 def _masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -8,8 +8,10 @@ the decode bottleneck; cf. the reference's per-request Python loop at
 `page_size` contiguous pool rows — rather than scattered single tokens.
 
 Layout contract (tpusgl/ops/attention.py, tpusgl/runtime/memory_pool.py):
-- pool `kv_l`: [(num_pages + 1) * page_size, Hkv*2*D]; K and V interleaved
-  per head in the minor dim; page 0 reserved as the dummy target.
+- pool `kv_l`: [(num_pages + 1) * page_size, Hkv*2*D]; minor dim is split in
+  half — all K heads first, then all V heads ([{k,v}, h, D]) — so the merged
+  compute path slices every head's K (or V) as ONE contiguous [N, Hkv*D]
+  block; page 0 reserved as the dummy target.
 - the allocator hands out whole pages, so the KV rows for logical positions
   [j*P, (j+1)*P) of a request are exactly rows [pid*P, (pid+1)*P) of the pool
   for page id `pid` = page_tbl[b, j].
@@ -71,6 +73,7 @@ def _decode_kernel(
     k_scale: Optional[float],
     v_scale: Optional[float],
     num_queries: int = 1,
+    merged: bool = True,
 ):
     # num_queries = S > 1 is the speculative-verify mode: q_ref carries S
     # causally-staggered queries per sequence ([SB, S*Hq, D], query j's rows
@@ -96,23 +99,21 @@ def _decode_kernel(
     G = Hq // Hkv
 
     R8 = sbufs.shape[1] // BP if has_scale else 0
-    total_pages = kv_hbm.shape[0] // P  # includes the dummy page 0
 
     def nblocks(seq):
         return pl.cdiv(lens_ref[seq], N)
 
     def block_contig(seq, blk):
         """(contiguous?, first page id) for (seq, blk). A block whose valid
-        pages are physically consecutive (and whose trailing run stays in
-        bounds) is fetched as ONE [BP*P, W] DMA instead of BP page DMAs —
-        the kernel is DMA-issue bound at short context (VERDICT r3 #5b), and
-        the allocator + scheduler preallocation hand out contiguous runs.
-        Trailing rows past kv_len may then hold unrelated pages' data: safe,
-        every read is masked by kv_len and pool contents are finite."""
+        pages are physically consecutive is fetched as ONE [vp*P, W] DMA
+        instead of per-page DMAs — the allocator + scheduler preallocation
+        hand out contiguous runs. Only VALID pages participate (and are
+        fetched), so the run never leaves the pool: every valid page id is a
+        real allocation < total_pages."""
         num_valid = pl.cdiv(lens_ref[seq], P)
         first = blk * BP
         pid0 = tbl_ref[seq, jnp.minimum(first, pages_per_seq - 1)]
-        ok = pid0 + BP <= total_pages
+        ok = num_valid > 0  # always true for blocks < nblocks (traced seed)
         for i in range(1, BP):
             idx = jnp.minimum(first + i, pages_per_seq - 1)
             ok = jnp.logical_and(
@@ -123,62 +124,77 @@ def _decode_kernel(
             )
         return ok, pid0
 
-    def copies_big(pid0, slot):
+    def copies_big(pid0, vp, slot):
+        # vp (static, 1..BP) = valid pages in this block; fetching only the
+        # valid rows cuts HBM bytes ~1.6x at the bench geometry (avg ctx 612
+        # vs the 1024-token block) — rows past vp*P keep stale buffer
+        # contents, safe because every unmasked read has pos < kv_len <=
+        # blk*N + vp*P (and float scratch is zeroed at bootstrap, so stale
+        # can never be an uninitialized NaN).
         copies = [
             pltpu.make_async_copy(
-                kv_hbm.at[pl.ds(pl.multiple_of(pid0 * P, P), BP * P)],
-                bufs.at[slot],
+                kv_hbm.at[pl.ds(pl.multiple_of(pid0 * P, P), vp * P)],
+                bufs.at[slot, pl.ds(0, vp * P)],
                 sems.at[slot],
             )
         ]
         if has_scale:
             copies.append(
                 pltpu.make_async_copy(
-                    scale_hbm.at[pl.ds(pl.multiple_of(pid0 * R8, 8), BP * R8)],
-                    sbufs.at[slot],
+                    scale_hbm.at[pl.ds(pl.multiple_of(pid0 * R8, 8), vp * R8)],
+                    sbufs.at[slot, pl.ds(0, vp * R8)],
                     sems.at[slot],
                 )
             )
         return copies
 
-    def copies_small(seq, blk, slot):
-        num_valid = pl.cdiv(lens_ref[seq], P)
-        copies = []
-        for i in range(BP):
-            pidx = jnp.minimum(blk * BP + i, pages_per_seq - 1)
-            pid = jnp.where(blk * BP + i < num_valid, tbl_ref[seq, pidx], 0)
-            row0 = pl.multiple_of(pid * P, P)
+    def copies_small(seq, blk, i, slot):
+        pid = tbl_ref[seq, blk * BP + i]
+        row0 = pl.multiple_of(pid * P, P)
+        copies = [
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(row0, P)],
+                bufs.at[slot, pl.ds(i * P, P)],
+                sems.at[slot],
+            )
+        ]
+        if has_scale:
             copies.append(
                 pltpu.make_async_copy(
-                    kv_hbm.at[pl.ds(row0, P)],
-                    bufs.at[slot, pl.ds(i * P, P)],
+                    scale_hbm.at[pl.ds(pl.multiple_of(pid * R8, 8), R8)],
+                    sbufs.at[slot, pl.ds(i * R8, R8)],
                     sems.at[slot],
                 )
             )
-            if has_scale:
-                copies.append(
-                    pltpu.make_async_copy(
-                        scale_hbm.at[pl.ds(pl.multiple_of(pid * R8, 8), R8)],
-                        sbufs.at[slot, pl.ds(i * R8, R8)],
-                        sems.at[slot],
-                    )
-                )
         return copies
 
     def _for_block(seq, blk, slot, action):
         """Start or wait the block's DMAs; the start and wait sides branch on
-        the same deterministic predicate, so semaphore signals always match."""
+        the same deterministic predicates (contiguity AND valid-page count),
+        so semaphore signals always match."""
         ok, pid0 = block_contig(seq, blk)
+        num_valid = pl.cdiv(lens_ref[seq], P)
+        vp = jnp.clip(num_valid - blk * BP, 1, BP)  # valid pages this block
 
         @pl.when(ok)
         def _():
-            for c in copies_big(pid0, slot):
-                action(c)
+            for k in range(1, BP + 1):
+
+                @pl.when(vp == k)
+                def _(k=k):
+                    for c in copies_big(pid0, k, slot):
+                        action(c)
 
         @pl.when(jnp.logical_not(ok))
         def _():
-            for c in copies_small(seq, blk, slot):
-                action(c)
+            # Non-contiguous block: per-page DMAs, skipping invalid pages
+            # entirely (round 3 fetched dummy page 0 for them).
+            for i in range(BP):
+
+                @pl.when(blk * BP + i < num_valid)
+                def _(i=i):
+                    for c in copies_small(seq, blk, i, slot):
+                        action(c)
 
     def start(seq, blk, slot):
         _for_block(seq, blk, slot, lambda c: c.start())
@@ -197,6 +213,14 @@ def _decode_kernel(
     @pl.when(g == 0)
     def _bootstrap():
         slot_ref[0] = 0
+        # Partial-block fetches can leave scratch rows untouched for the
+        # whole call; zero float scratch once so stale bytes are never an
+        # uninitialized NaN (0 * NaN would poison the V-side dot even at
+        # masked positions). int8 garbage is finite — no init needed.
+        if bufs.dtype != jnp.int8:
+            bufs[...] = jnp.zeros(bufs.shape, bufs.dtype)
+        if has_scale:
+            sbufs[...] = jnp.zeros(sbufs.shape, jnp.float32)
 
         @pl.when(nblocks(0) > 0)
         def _():
@@ -221,6 +245,8 @@ def _decode_kernel(
         def _run():
             kv_len = lens_ref[b]
             R = S * G  # query rows per kv head
+            RH = -(-R // 8) * 8  # per-head row block, sublane-aligned
+            ROWS = Hkv * RH
 
             def q_head(h):
                 if S == 1:
@@ -251,6 +277,51 @@ def _decode_kernel(
                     out_ref[s, j * Hq + h * G : j * Hq + h * G + G, :] = (
                         out_h[j * G : (j + 1) * G].astype(out_ref.dtype)
                     )
+
+            def q_blockdiag():
+                """[ROWS, Hkv*D] block-diagonal query: head h's R query rows
+                sit at rows [h*RH, h*RH+R) x cols [h*D, (h+1)*D), zeros
+                elsewhere. Built once per sequence; with the split-half KV
+                row layout ([K heads | V heads]) this turns the per-head
+                score matmuls into ONE [ROWS, Hkv*D] x [N, Hkv*D]^T dot with
+                the exact same MXU tile count (the per-head [G<=8, D] dots
+                wasted 94% of the 128-row MXU tile AND serialized 8 small
+                matmuls + 4 softmax chains per block — the measured 1.6
+                us/seq floor that capped the kernel at 147 us/call flat from
+                ctx 64 to 512)."""
+                blocks = []
+                for h in range(Hkv):
+                    col = [q_head(h)]
+                    if RH > R:
+                        col.append(jnp.zeros((RH - R, D), q_ref.dtype))
+                    blk_h = jnp.concatenate(col, 0) if len(col) > 1 else col[0]
+                    pre = h * RH
+                    post = ROWS - pre - RH
+                    parts = []
+                    if pre:
+                        parts.append(jnp.zeros((pre, D), q_ref.dtype))
+                    parts.append(blk_h)
+                    if post:
+                        parts.append(jnp.zeros((post, D), q_ref.dtype))
+                    blocks.append(
+                        jnp.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+                    )
+                return jnp.concatenate(blocks, 1)
+
+            q_bd = q_blockdiag() if merged else None
+
+            def merged_mask(blk):
+                """[ROWS, N] validity: padding rows (rr >= R) fully masked;
+                in verify mode query j of each head sees kv_len-(S-1)+j."""
+                pos = blk * N + jax.lax.broadcasted_iota(
+                    jnp.int32, (ROWS, N), 1
+                )
+                rr = jax.lax.broadcasted_iota(jnp.int32, (ROWS, N), 0) % RH
+                ok = rr < R
+                if S == 1:
+                    return jnp.logical_and(pos < kv_len, ok)
+                jrow = rr // G
+                return jnp.logical_and(pos < kv_len - (S - 1) + jrow, ok)
 
             def body(blk, carry):
                 m, l, acc = carry  # per-head tuples [G,1], [G,1], [G,D] f32
@@ -285,7 +356,7 @@ def _decode_kernel(
                 # stay f32 on the f32 score/prob columns, so dequant
                 # precision is unchanged.
                 kvb = bufs[slot]  # [BP*P, Hkv*2*D]
-                valid = valid_mask(blk)  # [1 or R, N]
+                valid = None if merged else valid_mask(blk)  # [1 or R, N]
                 mmd = q_ref.dtype
                 is_int8 = kvb.dtype == jnp.int8
                 k_mul = sm_scale * (
@@ -302,13 +373,55 @@ def _decode_kernel(
                         axis=1,
                     )
 
+                def scale_block(off):
+                    """[Hkv, N] f32: all heads' k (off=0) or v (off=Hkv)
+                    scale rows — one contiguous sublane slice per page block
+                    thanks to the split [K rows | V rows] scale layout."""
+                    return jnp.concatenate(
+                        [sbufs[slot, i * R8 + off : i * R8 + off + Hkv, :]
+                         for i in range(BP)],
+                        axis=1,
+                    )
+
+                if merged:
+                    # ONE score matmul + ONE softmax chain + ONE pv matmul
+                    # for all kv heads (same MXU tile count as the per-head
+                    # dots; 4x fewer serialized ops — see q_blockdiag).
+                    k_all = kvb[:, : Hkv * D].astype(mmd)   # [N, Hkv*D]
+                    v_all = kvb[:, Hkv * D :].astype(mmd)
+                    sc = jax.lax.dot_general(
+                        q_bd, k_all,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * k_mul  # [ROWS, N]
+                    if has_scale:
+                        sc = (
+                            sc.reshape(Hkv, RH, N)
+                            * scale_block(0)[:, None, :]
+                        ).reshape(ROWS, N)
+                    sc = jnp.where(merged_mask(blk), sc, NEG_INF)
+                    m_n = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+                    p = jnp.exp(sc - m_n)
+                    alpha = jnp.exp(m - m_n)
+                    l_n = alpha * l + jnp.sum(p, axis=1, keepdims=True)
+                    if has_scale:
+                        p = (
+                            p.reshape(Hkv, RH, N)
+                            * scale_block(Hkv)[:, None, :]
+                        ).reshape(ROWS, N)
+                    pv = jax.lax.dot_general(
+                        p.astype(mmd), v_all,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [ROWS, Hkv*D]
+                    return m_n, l_n, alpha * acc + pv * v_mul
+
                 m_new, l_new, acc_new = [], [], []
-                # Static loop over kv heads: Mosaic wants plain 2D matmuls.
-                # The minor-dim slice picks one head's K (or V) lanes; the
-                # buffer is already flat [N, W].
+                # Per-head fallback (merged=False): plain 2D matmuls on one
+                # head's contiguous K/V column slice.
                 for h in range(Hkv):
-                    k_h = kvb[:, 2 * h * D : (2 * h + 1) * D].astype(mmd)
-                    v_h = kvb[:, (2 * h + 1) * D : (2 * h + 2) * D].astype(mmd)
+                    k_h = kvb[:, h * D : (h + 1) * D].astype(mmd)
+                    v_h = kvb[:, (Hkv + h) * D : (Hkv + h + 1) * D].astype(mmd)
                     q_h = q_head(h)
 
                     sc = jax.lax.dot_general(
@@ -317,7 +430,7 @@ def _decode_kernel(
                         preferred_element_type=jnp.float32,
                     ) * k_mul  # [G or R, N]
                     if has_scale:
-                        sc = sc * scale_row(2 * h)
+                        sc = sc * scale_row(h)
                     sc = jnp.where(valid, sc, NEG_INF)
 
                     m_h = jnp.maximum(m[h], jnp.max(sc, axis=1, keepdims=True))
@@ -325,7 +438,7 @@ def _decode_kernel(
                     alpha = jnp.exp(m[h] - m_h)
                     l_h = alpha * l[h] + jnp.sum(p, axis=1, keepdims=True)
                     if has_scale:
-                        p = p * scale_row(2 * h + 1)
+                        p = p * scale_row(Hkv + h)
                     pv = jax.lax.dot_general(
                         p.astype(mmd), v_h,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -336,14 +449,28 @@ def _decode_kernel(
                     acc_new.append(alpha * acc[h] + pv * v_mul)
                 return tuple(m_new), tuple(l_new), tuple(acc_new)
 
-            init = (
-                tuple(jnp.full((R, 1), NEG_INF, jnp.float32) for _ in range(Hkv)),
-                tuple(jnp.zeros((R, 1), jnp.float32) for _ in range(Hkv)),
-                tuple(jnp.zeros((R, D), jnp.float32) for _ in range(Hkv)),
-            )
-            m, l, acc = jax.lax.fori_loop(0, nb, body, init)
-            for h in range(Hkv):
-                write_out(h, acc[h] / jnp.maximum(l[h], 1e-30))
+            if merged:
+                init = (
+                    jnp.full((ROWS, 1), NEG_INF, jnp.float32),
+                    jnp.zeros((ROWS, 1), jnp.float32),
+                    jnp.zeros((ROWS, Hkv * D), jnp.float32),
+                )
+                m, l, acc = jax.lax.fori_loop(0, nb, body, init)
+                o = acc / jnp.maximum(l, 1e-30)
+                for h in range(Hkv):
+                    write_out(
+                        h, o[h * RH : h * RH + R, h * D : (h + 1) * D]
+                    )
+            else:
+                init = (
+                    tuple(jnp.full((R, 1), NEG_INF, jnp.float32)
+                          for _ in range(Hkv)),
+                    tuple(jnp.zeros((R, 1), jnp.float32) for _ in range(Hkv)),
+                    tuple(jnp.zeros((R, D), jnp.float32) for _ in range(Hkv)),
+                )
+                m, l, acc = jax.lax.fori_loop(0, nb, body, init)
+                for h in range(Hkv):
+                    write_out(h, acc[h] / jnp.maximum(l[h], 1e-30))
 
         cur = jax.lax.rem(cur + nb, 2)
 
@@ -366,6 +493,7 @@ def paged_decode_attention(
     v_scale: Optional[float] = None,
     kv_scale: Optional[jnp.ndarray] = None,  # [num_pages+1, Hkv*2*P] f32 page-major
     num_queries: int = 1,
+    merged: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, SHq, D = q.shape
@@ -397,6 +525,7 @@ def paged_decode_attention(
         k_scale=k_scale,
         v_scale=v_scale,
         num_queries=S,
+        merged=merged,
     )
     in_specs = [
         pl.BlockSpec((SB, SHq, D), lambda g, lens, tbl: (g, 0, 0)),

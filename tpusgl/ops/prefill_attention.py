@@ -179,8 +179,8 @@ def _prefill_kernel(
         valid = t < plen  # [1, NP]
         m_new, l_new, acc_new = [], [], []
         for h in range(Hkv):
-            k_h = kvb[:, :, 2 * h * D : (2 * h + 1) * D].reshape(NP, D)
-            v_h = kvb[:, :, (2 * h + 1) * D : (2 * h + 2) * D].reshape(NP, D)
+            k_h = kvb[:, :, h * D : (h + 1) * D].reshape(NP, D)
+            v_h = kvb[:, :, (Hkv + h) * D : (Hkv + h + 1) * D].reshape(NP, D)
             qd = q_ref.dtype
             sc = jax.lax.dot_general(
                 q_head(h), k_h.astype(qd),
@@ -193,11 +193,11 @@ def _prefill_kernel(
                 # same Mosaic lane-tiling constraint, page_size % 128 == 0
                 # on the compiled path).
                 ks = jnp.concatenate(
-                    [sbufs[slot, i, 2 * h : 2 * h + 1, :] for i in range(BP)],
+                    [sbufs[slot, i, h : h + 1, :] for i in range(BP)],
                     axis=1,
                 )  # [1, NP]
                 vs = jnp.concatenate(
-                    [sbufs[slot, i, 2 * h + 1 : 2 * h + 2, :] for i in range(BP)],
+                    [sbufs[slot, i, Hkv + h : Hkv + h + 1, :] for i in range(BP)],
                     axis=1,
                 )
                 sc = jnp.where(valid, sc * ks, NEG_INF)

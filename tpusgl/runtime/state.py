@@ -63,7 +63,7 @@ def check_scale_geometry(state: "EngineState", model_cfg, engine_cfg) -> None:
 
 
 class EngineState(NamedTuple):
-    kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] (k/v interleaved)
+    kv: tuple                  # L x [(num_pages+1)*P, Hkv*2*D] ([K heads | V heads] halves)
     # Per-token scales when kv is int8: 8-row-aligned per-page blocks, one
     # [P]-lane row per (head, k/v) — ops/attention.scale_row. The decode
     # kernel DMAs a page's [R8, P] block and reads [1, P] rows per head;
