@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--weight-dtype", default="int8",
                         choices=["bf16", "int8", "int4"])
     parser.add_argument("--kv-dtype", default="int8", choices=["bf16", "int8"])
+    # int8 LM head: halves the head's ~1.1 GB/iter bf16 read at 7B; gated
+    # by tpusgl.eval.ppl_gate (int8+lm8 line in PPL_GATE.json).
+    parser.add_argument("--lm-head-dtype", default="int8",
+                        choices=["bf16", "int8"])
     parser.add_argument("--no-overlap", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-requests", type=int, default=90,
@@ -158,7 +162,8 @@ def main() -> None:
         max_prompt + args.max_new_tokens + args.decode_window, page_size
     )
     ecfg = EngineConfig.from_env(
-        quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype),
+        quant=QuantConfig(weight_dtype=args.weight_dtype, kv_dtype=args.kv_dtype,
+                          lm_head_dtype=args.lm_head_dtype),
         enable_overlap=not args.no_overlap,
         kv_len_bucket=512,
         max_requests=max_requests,

@@ -23,6 +23,7 @@ def parse_args():
     p.add_argument("--top-p", type=float, default=0.9)
     p.add_argument("--weight-dtype", default="bf16", choices=["bf16", "int8", "int4"])
     p.add_argument("--kv-dtype", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--lm-head-dtype", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--enable-overlap", action="store_true")
     p.add_argument("--json-schema", default=None, help="path to a JSON schema file")
     p.add_argument("--json-whitespace", action="store_true",
@@ -62,7 +63,8 @@ def main():
         args.model_id,
         engine_cfg=EngineConfig.from_env(
             quant=QuantConfig(weight_dtype=args.weight_dtype,
-                              kv_dtype=args.kv_dtype),
+                              kv_dtype=args.kv_dtype,
+                              lm_head_dtype=args.lm_head_dtype),
             enable_overlap=args.enable_overlap,
             tp=args.tp,
             speculative_tokens=args.speculative_tokens,

@@ -169,3 +169,44 @@ def test_int4_packing_layout():
     gs = np.asarray(q["gs"])  # [4, 128]
     recon = unpacked.reshape(4, 64, 128) * gs[:, None, :]
     np.testing.assert_allclose(recon.reshape(256, 128), vals, atol=1e-5)
+
+
+def test_int8_lm_head_logits_close_and_gated_shape():
+    """quantize_lm_head replaces an untied [V, H] head with an int8 Linear
+    {"w": [H, V], "s": [V]}; lm_head_logits routes the dict through the
+    fused dequant matmul with near-bf16 logits (the PPL gate's int8+lm8
+    line owns the quality bound; this is the mechanical contract)."""
+    import dataclasses
+
+    import jax
+
+    from tpusgl.config import QuantConfig, resolve_model_config
+    from tpusgl.loader.safetensors_loader import quantize_lm_head
+    from tpusgl.models import get_model
+
+    cfg = resolve_model_config("qwen2.5-0.5b")
+    cfg = dataclasses.replace(
+        cfg, num_hidden_layers=2, vocab_size=512, tie_word_embeddings=False
+    )
+    model = get_model(cfg.architecture)
+    params = model.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+
+    qp = quantize_lm_head(params, QuantConfig(lm_head_dtype="int8"))
+    assert qp["lm_head"]["w"].dtype == jnp.int8
+    assert qp["lm_head"]["w"].shape == (cfg.hidden_size, cfg.vocab_size)
+    assert qp["lm_head"]["s"].shape == (cfg.vocab_size,)
+    # no-op cases: tied models and bf16 setting return params unchanged
+    assert quantize_lm_head(params, QuantConfig()) is params
+    tied = dict(params)
+    tied.pop("lm_head")
+    assert quantize_lm_head(tied, QuantConfig(lm_head_dtype="int8")) is tied
+
+    h = jax.random.normal(
+        jax.random.PRNGKey(1), (4, cfg.hidden_size), jnp.bfloat16
+    )
+    lg = np.asarray(model.lm_head_logits(params, cfg, h))
+    lq = np.asarray(model.lm_head_logits(qp, cfg, h))
+    assert lq.dtype == np.float32
+    rel = np.abs(lq - lg).max() / np.abs(lg).max()
+    assert rel < 0.03, rel
+    assert (lg.argmax(-1) == lq.argmax(-1)).mean() >= 0.75

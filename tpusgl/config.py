@@ -244,10 +244,16 @@ class QuantConfig:
     weight_dtype: str = "bf16"  # bf16 | int8 | int4
     kv_dtype: str = "bf16"      # bf16 | int8
     group_size: int = 128       # int4 group quantization group size
+    # LM head weight dtype (untied models only; tied models keep the fp
+    # embedding). The head reads ~1.1 GB bf16 per decode iteration at 7B —
+    # int8 halves that. Default bf16: the head dominates PPL sensitivity,
+    # so int8 is opt-in and gated by eval/ppl_gate.
+    lm_head_dtype: str = "bf16"  # bf16 | int8
 
     def __post_init__(self):
         assert self.weight_dtype in ("bf16", "int8", "int4"), self.weight_dtype
         assert self.kv_dtype in ("bf16", "int8"), self.kv_dtype
+        assert self.lm_head_dtype in ("bf16", "int8"), self.lm_head_dtype
 
 
 @dataclass(frozen=True)

@@ -151,6 +151,43 @@ def main() -> None:
               f"({rel:+.3%} rel)  {verdict}", file=sys.stderr)
         del qp
 
+    # INT8 weights + INT8 LM HEAD (the production combo behind
+    # QuantConfig.lm_head_dtype="int8"): for tied-embedding models the head
+    # is untied here for measurement — the fp embedding still drives the
+    # gather, only the logit matmul quantizes. Gated at the int8 relative
+    # bound (or the int8 absolute bound on a real corpus): the head is the
+    # PPL-dominant matmul, so it shares the whole-model int8 budget.
+    import dataclasses
+
+    from tpusgl.loader.safetensors_loader import quantize_lm_head
+
+    ucfg = dataclasses.replace(cfg, tie_word_embeddings=False)
+    uparams = dict(params)
+    if cfg.tie_word_embeddings:
+        uparams["lm_head"] = params["embed"]
+    qp = quantize_params(uparams, QuantConfig(weight_dtype="int8"))
+    qp = quantize_lm_head(
+        qp, QuantConfig(weight_dtype="int8", lm_head_dtype="int8")
+    )
+    ppl_q = compute_ppl(qp, ucfg, windows, batch_size=args.batch_size)
+    delta = ppl_q - ppl_bf16
+    rel = delta / ppl_bf16
+    results["ppl_int8_lm8"] = round(ppl_q, 4)
+    results["delta_int8_lm8"] = round(delta, 4)
+    results["rel_delta_int8_lm8"] = round(rel, 5)
+    if real_corpus:
+        ok = abs(delta) <= ABS_GATES["int8"]
+        results["gate_int8_lm8"] = ABS_GATES["int8"]
+    else:
+        ok = abs(rel) <= REL_GATES["int8"]
+        results["rel_gate_int8_lm8"] = REL_GATES["int8"]
+    results["gated_int8_lm8"] = True
+    results["pass_int8_lm8"] = bool(ok)
+    all_pass &= ok
+    print(f"int8+lm8  ppl = {ppl_q:.4f}  delta = {delta:+.4f} "
+          f"({rel:+.3%} rel)  {'PASS' if ok else 'FAIL'}", file=sys.stderr)
+    del qp
+
     results["all_pass"] = bool(all_pass)
     print(json.dumps(results))
     if args.out:

@@ -371,7 +371,15 @@ def load_params(
     cos, sin = get_model(cfg.architecture).precompute_rope(cfg)
     params["rope_cos"] = put_rep(cos)
     params["rope_sin"] = put_rep(sin)
-    return params
+    return quantize_lm_head(params, quant, _lm_head_sharding(mesh))
+
+
+def _lm_head_sharding(mesh):
+    if mesh is None:
+        return None
+    from tpusgl.parallel.mesh import _ns
+
+    return {"w": _ns(mesh, None, "tp"), "s": _ns(mesh, "tp")}
 
 
 def init_params_streamed(
@@ -389,6 +397,7 @@ def init_params_streamed(
     synthetic bench path."""
     import math
 
+    head_quant = quant  # lm_head_dtype applies even with bf16 body weights
     if quant is not None and quant.weight_dtype == "bf16":
         quant = None
     streamer = LayerStreamer(cfg, quant, dtype, mesh=mesh)
@@ -468,7 +477,32 @@ def init_params_streamed(
         cos, sin = jax.device_put(cos, rep_sh), jax.device_put(sin, rep_sh)
     params["rope_cos"] = cos
     params["rope_sin"] = sin
-    return params
+    return quantize_lm_head(params, head_quant, _lm_head_sharding(mesh))
+
+
+def quantize_lm_head(
+    params: Dict[str, Any], quant: Optional[QuantConfig], out_sharding=None
+) -> Dict[str, Any]:
+    """Replace an untied [V, H] lm_head with an int8 Linear {"w": [H, V],
+    "s": [V]} when quant.lm_head_dtype == "int8" (no-op otherwise, incl.
+    tied-embedding models — the fp embedding stays authoritative there).
+    Halves the head's per-iteration HBM read; quality is gated by
+    eval/ppl_gate (run with lm_head int8 before enabling in production)."""
+    if (
+        quant is None
+        or quant.lm_head_dtype != "int8"
+        or "lm_head" not in params
+        or isinstance(params["lm_head"], dict)
+    ):
+        return params
+    out = dict(params)
+
+    def q(w):
+        return quantize_linear_int8({"w": w.T.astype(jnp.float32)})
+
+    fn = jax.jit(q, out_shardings=out_sharding)
+    out["lm_head"] = fn(params["lm_head"])
+    return out
 
 
 def quantize_params(
@@ -494,7 +528,7 @@ def quantize_params(
             layer[name] = q4(lin) if wd == "int4" else q8(lin)
         new_layers.append(layer)
     out["layers"] = tuple(new_layers)
-    return out
+    return quantize_lm_head(out, quant)
 
 
 def save_params_hf_layout(
@@ -507,7 +541,8 @@ def save_params_hf_layout(
     produces nonsense."""
     from safetensors.numpy import save_file
 
-    for lin in params["layers"][0].values():
+    head = params.get("lm_head")
+    for lin in list(params["layers"][0].values()) + ([head] if head is not None else []):
         if isinstance(lin, dict) and ("s" in lin or "w4" in lin or "gs" in lin):
             raise ValueError(
                 "save_params_hf_layout writes full-precision checkpoints; "

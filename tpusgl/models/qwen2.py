@@ -297,6 +297,14 @@ def forward(
 
 
 def lm_head_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
-    """[..., hidden] -> [..., vocab] in fp32 (tied embeddings, qwen2.py:31-35)."""
+    """[..., hidden] -> [..., vocab] in fp32 (tied embeddings, qwen2.py:31-35).
+
+    An int8-quantized head (loader.quantize_lm_head) is stored as a Linear
+    {"w": [H, V] int8, "s": [V]} and runs through the fused dequant matmul;
+    its bf16 result is widened to f32 for the sampling ops."""
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
+    if isinstance(w, dict):
+        from tpusgl.ops.linear import apply_linear
+
+        return apply_linear(hidden, w).astype(jnp.float32)
     return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)

@@ -159,7 +159,13 @@ def param_shardings(cfg: ModelConfig, params: Dict[str, Any], mesh: Mesh):
         ),
     }
     if "lm_head" in params:
-        out["lm_head"] = _ns(mesh, "tp", None)
+        if isinstance(params["lm_head"], dict):
+            # int8 head Linear {"w": [H, V], "s": [V]}: vocab-sharded.
+            out["lm_head"] = {
+                "w": _ns(mesh, None, "tp"), "s": _ns(mesh, "tp")
+            }
+        else:
+            out["lm_head"] = _ns(mesh, "tp", None)
     return out
 
 
