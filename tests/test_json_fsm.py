@@ -355,6 +355,188 @@ def test_property_based_valid_under_jsonschema():
             jsonschema.validate(doc, schema)
 
 
+@pytest.mark.parametrize(
+    "schema,text,ok",
+    [
+        # numeric ranges: integers
+        ({"type": "integer", "minimum": 5, "maximum": 120}, "5", True),
+        ({"type": "integer", "minimum": 5, "maximum": 120}, "4", False),
+        ({"type": "integer", "minimum": 5, "maximum": 120}, "120", True),
+        ({"type": "integer", "minimum": 5, "maximum": 120}, "121", False),
+        ({"type": "integer", "minimum": -20, "maximum": -3}, "-20", True),
+        ({"type": "integer", "minimum": -20, "maximum": -3}, "-21", False),
+        ({"type": "integer", "minimum": -20, "maximum": -3}, "-2", False),
+        ({"type": "integer", "exclusiveMinimum": 5}, "5", False),
+        ({"type": "integer", "exclusiveMinimum": 5}, "6", True),
+        # draft-04 boolean exclusive form
+        ({"type": "integer", "minimum": 5, "exclusiveMinimum": True}, "5", False),
+        ({"type": "integer", "minimum": 5, "exclusiveMinimum": True}, "6", True),
+        # numeric ranges: floats (exponents disabled under bounds)
+        ({"type": "number", "exclusiveMinimum": 0, "maximum": 1.5}, "0", False),
+        ({"type": "number", "exclusiveMinimum": 0, "maximum": 1.5}, "0.001", True),
+        ({"type": "number", "exclusiveMinimum": 0, "maximum": 1.5}, "1.5", True),
+        ({"type": "number", "exclusiveMinimum": 0, "maximum": 1.5}, "1.51", False),
+        ({"type": "number", "minimum": 0.25, "maximum": 0.75}, "0.5", True),
+        ({"type": "number", "minimum": 0.25, "maximum": 0.75}, "0.2", False),
+        ({"type": "number", "maximum": -1}, "-1.0", True),
+        ({"type": "number", "maximum": -1}, "-0.5", False),
+        # pattern: anchored, unanchored (search), classes, repetition
+        ({"type": "string", "pattern": "^[a-z]+@[a-z]+\\.(com|org)$"},
+         '"ab@cd.com"', True),
+        ({"type": "string", "pattern": "^[a-z]+@[a-z]+\\.(com|org)$"},
+         '"ab@cd.net"', False),
+        ({"type": "string", "pattern": "abc"}, '"xx abc yy"', True),
+        ({"type": "string", "pattern": "abc"}, '"ab"', False),
+        ({"type": "string", "pattern": "^\\d{2,4}$"}, '"123"', True),
+        ({"type": "string", "pattern": "^\\d{2,4}$"}, '"1"', False),
+        ({"type": "string", "pattern": "^\\d{2,4}$"}, '"12345"', False),
+        ({"type": "string", "pattern": "^[A-Z][a-z]*$"}, '"Bob"', True),
+        ({"type": "string", "pattern": "^[A-Z][a-z]*$"}, '"bob"', False),
+        # escape decodes before the NFA sees it
+        ({"type": "string", "pattern": "^a\\nb$"}, '"a\\nb"', True),
+        ({"type": "string", "pattern": "^a\\nb$"}, '"anb"', False),
+        # pattern AND length bounds together
+        ({"type": "string", "pattern": "^[ab]+$", "maxLength": 2}, '"ab"', True),
+        ({"type": "string", "pattern": "^[ab]+$", "maxLength": 2}, '"aba"', False),
+        # allOf: merged objects, tightened bounds, distribution over anyOf
+        ({"allOf": [
+            {"type": "object", "properties": {"a": {"type": "integer"}},
+             "required": ["a"]},
+            {"type": "object", "properties": {"a": {"minimum": 3},
+                                              "b": {"type": "string"}},
+             "required": ["b"]}]},
+         '{"a":5,"b":"x"}', True),
+        ({"allOf": [
+            {"type": "object", "properties": {"a": {"type": "integer"}},
+             "required": ["a"]},
+            {"type": "object", "properties": {"a": {"minimum": 3},
+                                              "b": {"type": "string"}},
+             "required": ["b"]}]},
+         '{"a":2,"b":"x"}', False),
+        ({"allOf": [{"type": "string", "minLength": 2},
+                    {"type": "string", "maxLength": 3}]}, '"ab"', True),
+        ({"allOf": [{"type": "string", "minLength": 2},
+                    {"type": "string", "maxLength": 3}]}, '"abcd"', False),
+        ({"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+                    {"minimum": 10, "minLength": 2}]}, "12", True),
+        ({"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+                    {"minimum": 10, "minLength": 2}]}, "5", False),
+        ({"allOf": [{"anyOf": [{"type": "integer"}, {"type": "string"}]},
+                    {"minimum": 10, "minLength": 2}]}, '"ab"', True),
+        # two patterns conjoined by allOf
+        ({"allOf": [{"type": "string", "pattern": "^[a-c]+$"},
+                    {"type": "string", "pattern": "b"}]}, '"ab"', True),
+        ({"allOf": [{"type": "string", "pattern": "^[a-c]+$"},
+                    {"type": "string", "pattern": "b"}]}, '"ac"', False),
+        # additionalProperties
+        ({"type": "object", "additionalProperties": {"type": "integer"}},
+         "{}", True),
+        ({"type": "object", "additionalProperties": {"type": "integer"}},
+         '{"x":3,"y":4}', True),
+        ({"type": "object", "additionalProperties": {"type": "integer"}},
+         '{"x":"s"}', False),
+        ({"type": "object", "additionalProperties": False}, "{}", True),
+        ({"type": "object", "additionalProperties": False}, '{"x":3}', False),
+        # bare object = free-form
+        ({"type": "object"}, '{"any":"thing"}', True),
+    ],
+)
+def test_extended_keywords_acceptance(schema, text, ok):
+    assert accepts(schema, text) == ok
+
+
+def test_property_based_extended_keywords():
+    """Rollouts through the token mask for pattern/allOf/range/
+    additionalProperties schemas must validate under `jsonschema`
+    (VERDICT r4 #3 acceptance criterion)."""
+    import random
+
+    import jsonschema
+
+    schemas = [
+        {"type": "object",
+         "properties": {
+             "code": {"type": "string", "pattern": "^[A-Z]{2}-\\d{3}$"},
+             "score": {"type": "number", "minimum": 0, "maximum": 1},
+             "count": {"type": "integer", "minimum": 1, "maximum": 99},
+         },
+         "required": ["code", "score", "count"]},
+        {"allOf": [
+            {"type": "object", "properties": {"a": {"type": "integer",
+                                                    "minimum": -5}},
+             "required": ["a"]},
+            {"type": "object", "properties": {"a": {"maximum": 20},
+                                              "t": {"enum": ["x", "y"]}},
+             "required": ["t"]}]},
+        {"type": "object",
+         "additionalProperties": {"type": "integer", "minimum": 0,
+                                  "maximum": 200}},
+        {"type": "string", "pattern": "^(foo|bar)+$", "maxLength": 9},
+    ]
+    tok = CharTokenizer()
+    rng = random.Random(1)
+    validated = 0
+    for schema in schemas:
+        for trial in range(6):
+            cs = JsonConstraintState(schema, tok)
+            out = []
+            for _ in range(160):
+                allowed = cs.allowed_tokens(out).tolist()
+                assert allowed, f"dead end: {tok.decode(out)!r}"
+                if tok.eos_token_id in allowed and (
+                    rng.random() < 0.5 or len(allowed) == 1
+                ):
+                    break
+                non_eos = [t for t in allowed if t != tok.eos_token_id]
+                closers = [t for t in non_eos
+                           if tok.decode([t]) in ('"', "}", "]", ",")]
+                if closers and rng.random() < 0.6:
+                    out.append(rng.choice(closers))
+                else:
+                    out.append(rng.choice(non_eos))
+            else:
+                continue
+            doc = json.loads(tok.decode(out))
+            jsonschema.validate(doc, schema)
+            validated += 1
+    assert validated >= len(schemas)  # at least one rollout per schema
+
+
+def test_pattern_unsupported_syntax_ignored():
+    """Backreferences/lookaround are documented-unsupported: the pattern is
+    ignored (under-constrained), never a crash."""
+    schema = {"type": "string", "pattern": "^(a)\\1$"}  # backreference
+    assert accepts(schema, '"anything"')  # pattern dropped
+    schema = {"type": "string", "pattern": "(?=x)"}  # lookahead
+    assert accepts(schema, '"y"')
+
+
+def test_range_masks_have_no_dead_ends():
+    """Digit-viability must never let generation paint itself into a corner:
+    every mask along a range-constrained number offers a way to finish."""
+    tok = CharTokenizer()
+    schema = {"type": "integer", "minimum": 123, "maximum": 4567}
+    cs = JsonConstraintState(schema, tok)
+    import random
+
+    rng = random.Random(2)
+    for _ in range(20):
+        out = []
+        for _ in range(30):
+            allowed = cs.allowed_tokens(out).tolist()
+            assert allowed, f"dead end at {tok.decode(out)!r}"
+            if tok.eos_token_id in allowed and rng.random() < 0.4:
+                v = int(tok.decode(out))
+                assert 123 <= v <= 4567, v
+                break
+            non_eos = [t for t in allowed if t != tok.eos_token_id]
+            if not non_eos:
+                v = int(tok.decode(out))
+                assert 123 <= v <= 4567, v
+                break
+            out.append(rng.choice(non_eos))
+
+
 def test_enum_and_const():
     schema = {"type": "object", "properties": {"color": {"enum": ["red", "green"]}}}
     assert accepts(schema, '{"color":"red"}')
