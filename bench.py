@@ -49,7 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     # `python bench.py` measures and prints the flagship number.
     parser = argparse.ArgumentParser()
     parser.add_argument("--mode", default="flagship",
-                        choices=["flagship", "prefix", "spec"])
+                        choices=["flagship", "prefix", "spec", "latency"])
+    parser.add_argument("--latency-batches", default="1,4,8",
+                        help="latency mode: comma list of batch sizes")
+    parser.add_argument("--latency-prompts", default="512,2048",
+                        help="latency mode: comma list of prompt lengths")
     parser.add_argument("--speculative-tokens", type=int, default=None,
                         help="prompt-lookup draft tokens per verify step "
                         "(default: 4 in spec mode, 0 otherwise)")
@@ -101,9 +105,17 @@ def build_parser() -> argparse.ArgumentParser:
 def main() -> None:
     args = build_parser().parse_args()
     if args.max_new_tokens is None:
-        args.max_new_tokens = 128 if args.mode == "prefix" else 1024
+        args.max_new_tokens = {"prefix": 128, "latency": 256}.get(
+            args.mode, 1024)
     if args.speculative_tokens is None:
         args.speculative_tokens = 4 if args.mode == "spec" else 0
+    lat_batches = [int(x) for x in args.latency_batches.split(",")]
+    lat_lens = [int(x) for x in args.latency_prompts.split(",")]
+    if args.mode == "latency" and args.max_requests == 90:
+        # small-batch latency protocol (VERDICT r4 #7): the request pool
+        # only needs the largest measured batch; a 90-slot pool would just
+        # stretch context rows and warmup for nothing
+        args.max_requests = max(lat_batches)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
@@ -156,6 +168,8 @@ def main() -> None:
         # extends it by the generated output + a 32-token user turn
         max_prompt = (args.shared_prefix_len + min(256, args.max_input)
                       + args.max_new_tokens + 32)
+    elif args.mode == "latency":
+        max_prompt = max(lat_lens)
     else:
         max_prompt = args.max_input
     ctx = round_up(
@@ -170,7 +184,11 @@ def main() -> None:
         max_total_tokens=max_requests * ctx,
         page_size=page_size,
         pages_per_block=ppb,
-        decode_bs_buckets=(max_requests,),
+        # Decode batch bucket rounded to a multiple of 32 so the Pallas
+        # kernel's grid keeps seqs_per_block=16 (and merge groups pair
+        # cleanly): 90 -> 96 costs 6 padded q rows (nb==0 fast path),
+        # far cheaper than the 9-vs-6 grid steps an odd divisor forces.
+        decode_bs_buckets=(round_up(max_requests, 32),),
         prefill_token_budget=args.prefill_budget,
         prefill_len_buckets=tuple(
             b for b in (128, 256, 512, 1024, 2048, 4096)
@@ -202,6 +220,14 @@ def main() -> None:
             + rng.integers(0, vocab, rng.integers(
                 min(16, hi), hi + 1)).tolist()
             for i in range(args.num_seqs)
+        ]
+    elif args.mode == "latency":
+        # one prompt per measured length (warmup derives its bucket set
+        # from these) padded out to the largest batch at the longest length
+        prompts = [
+            rng.integers(0, vocab, n).tolist()
+            for n in sorted(lat_lens)
+            for _ in range(max(lat_batches))
         ]
     else:
         prompts = [
@@ -386,6 +412,56 @@ def main() -> None:
                 if sol_tok_s else None,
             },
         }
+
+    if args.mode == "latency":
+        # Small-batch latency protocol (VERDICT r4 #7; the reference's
+        # second metric is run.py's single-prompt latency print,
+        # /root/reference/run.py:63-68): per (prompt_len, batch), measured
+        # TTFT p50 and steady-state per-token decode latency, --passes
+        # passes each (headline = last pass, same integrity rules as the
+        # throughput protocol).
+        lat_rows = []
+        for L in lat_lens:
+            for B in lat_batches:
+                pp = [rng.integers(0, vocab, L).tolist() for _ in range(B)]
+                row = None
+                for p in range(args.passes):
+                    engine.reset()
+                    n0 = len(compile_log)
+                    t0 = time.perf_counter()
+                    outs = engine.scheduler.run_batch(
+                        pp, sp, overlap=not args.no_overlap
+                    )
+                    elapsed = time.perf_counter() - t0
+                    m = engine.metrics
+                    ttft = sorted(m["ttft_s"])
+                    p50 = ttft[len(ttft) // 2] if ttft else 0.0
+                    toks = sum(len(o) for o in outs)
+                    dec_ms = ((elapsed - p50)
+                              / max(1, args.max_new_tokens - 1) * 1e3)
+                    row = {
+                        "prompt_len": L, "batch": B,
+                        "ttft_p50_s": round(p50, 4),
+                        "decode_ms_per_token": round(dec_ms, 3),
+                        "tokens_per_s": round(toks / elapsed, 1),
+                        "elapsed_s": round(elapsed, 3),
+                        "compiles": len(compile_log) - n0,
+                        "pass": p + 1,
+                    }
+                    print(json.dumps(row), file=sys.stderr)
+                lat_rows.append(row)
+        b1 = min(lat_rows, key=lambda r: (r["batch"], r["prompt_len"]))
+        print(json.dumps({
+            "metric": f"decode latency {args.model} "
+            f"w{args.weight_dtype}/kv{args.kv_dtype} "
+            f"[latency b{b1['batch']} p{b1['prompt_len']}]",
+            "value": b1["decode_ms_per_token"],
+            "unit": "ms/token",
+            "vs_baseline": 1.0,
+            "warmup_s": round(warmup_s, 1),
+            "rows": lat_rows,
+        }))
+        return
 
     reports = []
     last_outs = None

@@ -59,18 +59,30 @@ def main():
     overrides = {}
     if args.kv_dtype == "int8":
         overrides.update(page_size=128, pages_per_block=8)
-    engine = Engine(
-        args.model_id,
-        engine_cfg=EngineConfig.from_env(
-            quant=QuantConfig(weight_dtype=args.weight_dtype,
-                              kv_dtype=args.kv_dtype,
-                              lm_head_dtype=args.lm_head_dtype),
-            enable_overlap=args.enable_overlap,
-            tp=args.tp,
-            speculative_tokens=args.speculative_tokens,
-            **overrides,
-        ),
+    from tpusgl.config import resolve_model_config
+
+    mcfg = resolve_model_config(args.model_id)
+    ecfg = EngineConfig.from_env(
+        quant=QuantConfig(weight_dtype=args.weight_dtype,
+                          kv_dtype=args.kv_dtype,
+                          lm_head_dtype=args.lm_head_dtype),
+        enable_overlap=args.enable_overlap,
+        tp=args.tp,
+        speculative_tokens=args.speculative_tokens,
+        **overrides,
     )
+    if ecfg.max_context_len > mcfg.rope_table_rows:
+        # Default pool geometry (131072 / 32 = 4096-token rows, the
+        # reference's scheduler.py:43-47) can exceed a small model's RoPE
+        # table; clamp the per-request context to the usable range instead
+        # of failing the loud Engine check.
+        import dataclasses
+
+        per = (mcfg.rope_table_rows // ecfg.page_size) * ecfg.page_size
+        ecfg = dataclasses.replace(
+            ecfg, max_total_tokens=per * ecfg.max_requests
+        )
+    engine = Engine(args.model_id, model_cfg=mcfg, engine_cfg=ecfg)
 
     schema = None
     if args.json_schema:

@@ -199,6 +199,131 @@ def test_pallas_attention_in_model():
     )
 
 
+@pytest.mark.parametrize(
+    "Hq,Hkv,D,P,M", [(14, 2, 64, 32, 2), (8, 8, 64, 8, 2), (4, 1, 128, 4, 2),
+                     (14, 2, 64, 32, 4)]
+)
+def test_paged_decode_grouped_matches_ref(Hq, Hkv, D, P, M):
+    """M-sequence merged kernel (block-diagonal compute) vs the jnp path,
+    including an empty (padding) member inside a group and skewed lengths."""
+    rng = np.random.default_rng(7)
+    B, pages_per_seq, n_pages = 8, 8, 64
+    T = pages_per_seq * P
+
+    kv_l = jnp.asarray(rng.normal(size=((n_pages + 1) * P, Hkv * 2 * D)), jnp.float32)
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    # pairs: (tiny, huge), (0-length padding, mid), (equal, equal), ...
+    seq_lens = np.array([1, T, 0, 2 * P + 3, P, P, T, 3], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, kv_l, jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=4,
+        merge_seqs=M, interpret=True,
+    )
+
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
+    meta = AttnMeta(
+        kv_rows=rows,
+        seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(np.maximum(seq_lens - 1, 0))[:, None],
+        out_loc=jnp.zeros((B, 1), jnp.int32),
+    )
+    ref, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), kv_l, meta,
+    )
+    live = seq_lens > 0  # empty members produce unused (finite) rows
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref[:, 0])[live], rtol=2e-5, atol=2e-5
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_paged_decode_grouped_per_token_scales():
+    """Grouped kernel over the int8 per-token-scale write path."""
+    rng = np.random.default_rng(8)
+    Hq, Hkv, D, P = 4, 2, 64, 8
+    B, pages_per_seq, n_pages = 4, 4, 32
+    T = pages_per_seq * P
+    rows_total = (n_pages + 1) * P
+
+    kv_f = jnp.asarray(rng.normal(size=(rows_total, Hkv * 2 * D)), jnp.float32)
+    k_all = kv_f.reshape(rows_total, 2, Hkv, D)[:, 0][None]
+    v_all = kv_f.reshape(rows_total, 2, Hkv, D)[:, 1][None]
+    from tpusgl.ops.attention import scale_rows_per_page
+
+    pair = (
+        jnp.zeros((rows_total, Hkv * 2 * D), jnp.int8),
+        jnp.zeros(
+            ((rows_total // P) * scale_rows_per_page(Hkv), P), jnp.float32
+        ),
+    )
+    pair = write_kv(
+        k_all, v_all, pair, jnp.arange(rows_total, dtype=jnp.int32)[None, :]
+    )
+    buf, sc = pair
+
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    seq_lens = np.array([T, P + 1, 2 * P, 5], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, buf, jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=2,
+        kv_scale=sc, merge_seqs=2, interpret=True,
+    )
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
+    meta = AttnMeta(
+        kv_rows=rows, seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(seq_lens - 1)[:, None],
+        out_loc=jnp.zeros((B, 1), jnp.int32),
+    )
+    ref_q, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), pair, meta,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref_q[:, 0]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_paged_decode_grouped_int8_static_scales():
+    """Grouped kernel with static per-layer k/v scales (int8 KV)."""
+    rng = np.random.default_rng(9)
+    Hq, Hkv, D, P = 4, 2, 64, 8
+    B, pages_per_seq, n_pages = 2, 4, 32
+    T = pages_per_seq * P
+    scale = 0.04
+    kv_i8 = rng.integers(-127, 127, ((n_pages + 1) * P, Hkv * 2 * D)).astype(np.int8)
+    tbl = _random_tbl(rng, B, pages_per_seq, n_pages)
+    seq_lens = np.array([T, P + 1], np.int32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+
+    out = paged_decode_attention(
+        q, jnp.asarray(kv_i8), jnp.asarray(seq_lens), jnp.asarray(tbl),
+        num_kv_heads=Hkv, page_size=P, pages_per_block=2,
+        k_scale=scale, v_scale=scale, merge_seqs=2, interpret=True,
+    )
+    kv_f = jnp.asarray(kv_i8.astype(np.float32) * scale)
+    rows = rows_from_pages(jnp.asarray(tbl), T, P)
+    meta = AttnMeta(
+        kv_rows=rows, seq_lens=jnp.asarray(seq_lens),
+        ext_lens=jnp.ones((B,), jnp.int32),
+        positions=jnp.asarray(seq_lens - 1)[:, None],
+        out_loc=jnp.zeros((B, 1), jnp.int32),
+    )
+    ref, _ = ref_attention(
+        0, q[:, None], jnp.zeros((B, 1, Hkv, D), jnp.float32),
+        jnp.zeros((B, 1, Hkv, D), jnp.float32), kv_f, meta,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:, 0]), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.parametrize("M", [1, 8, 100])
 def test_quant_matmul_int8(M):
     from tpusgl.ops.linear import dequantize_weight, init_linear, quantize_linear_int8

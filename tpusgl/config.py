@@ -275,6 +275,13 @@ class EngineConfig:
     page_size: int = 32
     # KV pages fetched per kernel block (double-buffered DMA window).
     pages_per_block: int = 8
+    # Sequences whose compute is merged into one block-diagonal matmul +
+    # one softmax chain per KV block in the Pallas decode kernel. Measured
+    # SLOWER on v5e at bench geometry (240-282 vs 139 us/call: the
+    # block-diagonal contraction doubles MXU tile loads and the group DMA
+    # lands strided) — kept at 1; the grouped kernel remains available for
+    # other geometries (tools/probe_decode_kernel.py --merges).
+    decode_merge_seqs: int = 1
     # Sub-page prefix reuse (radix match_tail + page copy-in): minimum
     # matched-tail length worth a device page copy. Short accidental matches
     # (random workloads collide on 1-2 tokens) would otherwise trigger the
@@ -355,6 +362,20 @@ class EngineConfig:
     # no draft model. 0 disables.
     speculative_tokens: int = 0
     speculative_ngram: int = 2
+    # Rolling-acceptance auto-disable: a spec step only pays for itself when
+    # enough drafts are accepted (the verify pass streams the weights once
+    # for 1+accepted tokens but forfeits the multi-token decode window). If
+    # the acceptance rate over the last `speculative_probe_steps` spec steps
+    # falls below `speculative_min_acceptance`, speculation turns OFF for
+    # `speculative_reprobe_interval` decode steps, then probes again — so a
+    # user passing --speculative-tokens on a low-acceptance workload is
+    # bounded to ~probe/(probe+interval) of the standalone regression
+    # instead of silently eating all of it (VERDICT r4 #4a). All counters
+    # derive from committed tokens, so every multihost process makes the
+    # same on/off decision on the same step.
+    speculative_min_acceptance: float = 0.5
+    speculative_probe_steps: int = 16
+    speculative_reprobe_interval: int = 256
 
     # Multi-step decode: run this many decode iterations inside one jitted
     # lax.scan, amortizing host dispatch over K tokens (the device-side

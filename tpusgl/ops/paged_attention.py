@@ -57,7 +57,14 @@ def _decode_kernel(
     #   out_ref    VMEM [SB, Hq, D]
     #   bufs       VMEM [2, BP*P, Hkv*2*D] scratch (flat so one contiguous
     #              block can land as a single DMA — see block_contig)
-    #   sbufs      VMEM [2, BP*R8, P] f32 scratch          (has_scale only)
+    #   sbufs      VMEM [2, BP*R8, P] f32 scratch          (has_scale only;
+    #              page-major. A lane-slotted layout — page i's [R8, P] at
+    #              lanes [i*P, (i+1)*P) so the compute reads [Hkv, N] as one
+    #              slice — was tried in round 5: the per-page 512-byte
+    #              strided scale DMAs it needs cost 258 vs 139 us/call,
+    #              while the whole slice-concat machinery it removes is only
+    #              ~5 us/call (static-scale probe: 132 us). Page-major +
+    #              concats is the measured optimum.)
     #   sems       DMA sems (2,)
     #   slot_ref   SMEM (1,) i32 — buffer parity carried across grid steps
     *refs,
@@ -477,6 +484,343 @@ def _decode_kernel(
     slot_ref[0] = cur
 
 
+def _decode_kernel_grouped(
+    # Positional refs (layout depends on has_scale):
+    #   lens_ref  SMEM [B] i32
+    #   tbl_ref   SMEM [B, pages_per_seq] i32
+    #   q_ref     VMEM [SB, Hq, D]
+    #   kv_hbm    ANY  [(num_pages+1)*P, Hkv*2*D]
+    #   scale_hbm ANY  [(num_pages+1)*R8, P] f32           (has_scale only)
+    #   out_ref   VMEM [SB, Hq, D]
+    #   bufs      VMEM [2, BP*P, M*Hkv*2*D] — member m's full-width pages at
+    #             cols [m*W, (m+1)*W), W = Hkv*2*D
+    #   sbufs     VMEM [2, M*BP*R8, P] f32                 (has_scale only)
+    #   sems      DMA sems (2,)
+    #   slot_ref  SMEM (1,) i32
+    *refs,
+    has_scale: bool = False,
+    num_seqs: int,
+    num_kv_heads: int,
+    head_dim: int,
+    page_size: int,
+    pages_per_block: int,
+    pages_per_seq: int,
+    seqs_per_block: int,
+    merge_seqs: int,
+    sm_scale: float,
+    k_scale: Optional[float],
+    v_scale: Optional[float],
+):
+    """M-sequence merged decode kernel (round-5 lever, PERF_BREAKDOWN.md
+    "2-sequence compute merging"): M sequences share ONE block-diagonal score
+    matmul, ONE online-softmax chain, and ONE pv matmul per KV block. The
+    per-sequence [G<=8, D] compute of `_decode_kernel` wastes 128-G rows of
+    every MXU tile AND serializes ~15 vector/matrix ops per sequence per
+    block — the measured ~1.6 -> 0.66 us/seq serial floor that keeps the
+    kernel at ~56% of its byte ideal at bench geometry. Merging M sequences
+    keeps the MXU tile count IDENTICAL (rows stay <= 128) while dividing the
+    serialized op count by M.
+
+    Layout: member m's pages land FULL-ROW-WIDTH at column block
+    [m*W, (m+1)*W) of one shared buffer — the DMAs move the same dense
+    [rows, W] chunks as the per-sequence kernel (a K/V-split layout was
+    tried first: its 512-byte strided chunks measured 240 vs 139 us/call —
+    DMA efficiency dominates everything here). The block-diagonal q
+    [M*ROWS, M*W] has zeros over every V half and over other members'
+    columns, so one dot scores each member against only its own K; the
+    contraction over the zero V columns and the pv matmul's discarded
+    off-diagonal blocks ride MXU tiles that were <=50% row-occupied anyway.
+    Decode only (S == 1)."""
+    if has_scale:
+        (lens_ref, tbl_ref, q_ref, kv_hbm, scale_hbm, out_ref,
+         bufs, sbufs, sems, slot_ref) = refs
+    else:
+        (lens_ref, tbl_ref, q_ref, kv_hbm, out_ref,
+         bufs, sems, slot_ref) = refs
+        scale_hbm = sbufs = None
+    g = pl.program_id(0)
+    P = page_size
+    BP = pages_per_block
+    SB = seqs_per_block
+    M = merge_seqs
+    N = BP * P
+    Hkv, D = num_kv_heads, head_dim
+    HD = Hkv * D
+    Hq = q_ref.shape[1]
+    G = Hq // Hkv
+    RH = -(-G // 8) * 8          # per-head row block, sublane-aligned
+    ROWS = Hkv * RH              # rows per member
+    MROWS = M * ROWS
+
+    R8 = sbufs.shape[1] // (M * BP) if has_scale else 0
+
+    def nblocks(seq):
+        return pl.cdiv(lens_ref[seq], N)
+
+    def block_contig(seq, blk):
+        num_valid = pl.cdiv(lens_ref[seq], P)
+        first = blk * BP
+        pid0 = tbl_ref[seq, jnp.minimum(first, pages_per_seq - 1)]
+        ok = num_valid > 0
+        for i in range(1, BP):
+            idx = jnp.minimum(first + i, pages_per_seq - 1)
+            ok = jnp.logical_and(
+                ok,
+                jnp.logical_or(
+                    first + i >= num_valid, tbl_ref[seq, idx] == pid0 + i
+                ),
+            )
+        return ok, pid0
+
+    W = 2 * HD
+
+    def copies_big(pid0, vp, slot, m):
+        row0 = pl.multiple_of(pid0 * P, P)
+        copies = [
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(row0, vp * P)],
+                bufs.at[slot, pl.ds(0, vp * P), pl.ds(m * W, W)],
+                sems.at[slot],
+            ),
+        ]
+        if has_scale:
+            copies.append(
+                pltpu.make_async_copy(
+                    scale_hbm.at[pl.ds(pl.multiple_of(pid0 * R8, 8), vp * R8)],
+                    sbufs.at[slot, pl.ds(m * BP * R8, vp * R8)],
+                    sems.at[slot],
+                )
+            )
+        return copies
+
+    def copies_small(seq, blk, i, slot, m):
+        pid = tbl_ref[seq, blk * BP + i]
+        row0 = pl.multiple_of(pid * P, P)
+        copies = [
+            pltpu.make_async_copy(
+                kv_hbm.at[pl.ds(row0, P)],
+                bufs.at[slot, pl.ds(i * P, P), pl.ds(m * W, W)],
+                sems.at[slot],
+            ),
+        ]
+        if has_scale:
+            copies.append(
+                pltpu.make_async_copy(
+                    scale_hbm.at[pl.ds(pl.multiple_of(pid * R8, 8), R8)],
+                    sbufs.at[slot, pl.ds(m * BP * R8 + i * R8, R8)],
+                    sems.at[slot],
+                )
+            )
+        return copies
+
+    def _for_member(seq, blk, slot, m, action):
+        ok, pid0 = block_contig(seq, blk)
+        num_valid = pl.cdiv(lens_ref[seq], P)
+        vp = jnp.clip(num_valid - blk * BP, 1, BP)
+
+        @pl.when(ok)
+        def _():
+            for k in range(1, BP + 1):
+
+                @pl.when(vp == k)
+                def _(k=k):
+                    for c in copies_big(pid0, k, slot, m):
+                        action(c)
+
+        @pl.when(jnp.logical_not(ok))
+        def _():
+            for i in range(BP):
+
+                @pl.when(blk * BP + i < num_valid)
+                def _(i=i):
+                    for c in copies_small(seq, blk, i, slot, m):
+                        action(c)
+
+    def _for_group(b0, blk, slot, action):
+        """Start/wait the group's members' DMAs for block `blk`; members
+        whose KV stream ended (blk >= nblocks) participate in neither side,
+        so semaphore signals always match."""
+        for m in range(M):
+
+            @pl.when(blk < nblocks(b0 + m))
+            def _(m=m):
+                _for_member(b0 + m, blk, slot, m, action)
+
+    def start_group(b0, blk, slot):
+        _for_group(b0, blk, slot, lambda c: c.start())
+
+    def start_first_of_next_group(b0, slot):
+        # b indices are global (b = g*SB + s0 + m), so "+ M" crosses grid
+        # steps transparently. Fully-empty groups forward the prefetch when
+        # their own turn comes (matching _decode_kernel's empty-seq path).
+        @pl.when(b0 + M < num_seqs)
+        def _():
+            start_group(b0 + M, 0, slot)
+
+    @pl.when(g == 0)
+    def _bootstrap():
+        slot_ref[0] = 0
+        # Zero float scratch once: q's zero block-diagonal columns multiply
+        # OTHER members' K rows — 0 * uninitialized-NaN would poison valid
+        # scores. Stale-but-finite bytes (int8 always; float after this
+        # zeroing) contribute exact zeros instead.
+        if bufs.dtype != jnp.int8:
+            bufs[...] = jnp.zeros(bufs.shape, bufs.dtype)
+        if has_scale:
+            sbufs[...] = jnp.zeros(sbufs.shape, jnp.float32)
+        start_group(0, 0, 0)
+
+    cur = slot_ref[0]
+
+    for s0 in range(0, SB, M):
+        b0 = g * SB + s0
+        nbs = [nblocks(b0 + m) for m in range(M)]
+        nbmax = functools.reduce(jnp.maximum, nbs)
+
+        @pl.when(nbmax == 0)
+        def _empty_group():
+            start_first_of_next_group(b0, cur)
+            for m in range(M):
+                out_ref[s0 + m, :, :] = jnp.zeros((Hq, D), out_ref.dtype)
+
+        @pl.when(nbmax > 0)
+        def _run():
+            def q_blockdiag():
+                """[MROWS, M*W]: member m head h's G query rows at rows
+                [m*ROWS + h*RH, +G) x cols [m*W + h*D, +D) — i.e. against
+                member m's K columns only; V halves stay zero (the wasted
+                contraction is MXU-free: rows were <=50% of the tile)."""
+                cols = []
+                for m in range(M):
+                    for h in range(Hkv):
+                        col = [q_ref[s0 + m, h * G : (h + 1) * G, :]]
+                        if RH > G:
+                            col.append(jnp.zeros((RH - G, D), q_ref.dtype))
+                        blk_h = (
+                            jnp.concatenate(col, 0) if len(col) > 1 else col[0]
+                        )
+                        pre = m * ROWS + h * RH
+                        post = MROWS - pre - RH
+                        parts = []
+                        if pre:
+                            parts.append(jnp.zeros((pre, D), q_ref.dtype))
+                        parts.append(blk_h)
+                        if post:
+                            parts.append(jnp.zeros((post, D), q_ref.dtype))
+                        cols.append(
+                            jnp.concatenate(parts, 0)
+                            if len(parts) > 1
+                            else parts[0]
+                        )
+                    # zero V half of member m's column block
+                    cols.append(jnp.zeros((MROWS, HD), q_ref.dtype))
+                return jnp.concatenate(cols, 1)
+
+            q_bd = q_blockdiag()
+
+            def group_mask(blk):
+                """[MROWS, N]: row r of member m = r // ROWS is valid up to
+                lens[b0+m]; padding rows within each RH head block masked."""
+                pos = blk * N + jax.lax.broadcasted_iota(
+                    jnp.int32, (MROWS, N), 1
+                )
+                rfull = jax.lax.broadcasted_iota(jnp.int32, (MROWS, N), 0)
+                ok = rfull % RH < G
+                kvl = jnp.zeros((MROWS, N), jnp.int32)
+                for m in range(M):
+                    kvl = jnp.where(rfull // ROWS == m, lens_ref[b0 + m], kvl)
+                return jnp.logical_and(pos < kvl, ok)
+
+            def body(blk, carry):
+                m_c, l_c, acc = carry  # [MROWS,1], [MROWS,1], [MROWS, M*HD]
+                slot = jax.lax.rem(cur + blk, 2)
+                slot_next = jax.lax.rem(cur + blk + 1, 2)
+
+                @pl.when(blk + 1 < nbmax)
+                def _prefetch_same():
+                    start_group(b0, blk + 1, slot_next)
+
+                @pl.when(blk + 1 == nbmax)
+                def _prefetch_next():
+                    start_first_of_next_group(b0, slot_next)
+
+                _for_group(b0, blk, slot, lambda c: c.wait())
+
+                mmd = q_ref.dtype
+                is_int8 = bufs.dtype == jnp.int8
+                k_mul = sm_scale * (
+                    k_scale if not has_scale and is_int8 and k_scale else 1.0
+                )
+                v_mul = (
+                    v_scale if not has_scale and is_int8 and v_scale else 1.0
+                )
+                kvb = bufs[slot].astype(mmd)  # [N, M*W]
+                sc = jax.lax.dot_general(
+                    q_bd, kvb,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * k_mul  # [MROWS, N]
+                if has_scale:
+                    parts = []
+                    for m in range(M):
+                        base = m * BP * R8
+                        srow = jnp.concatenate(
+                            [sbufs[slot, base + i * R8 : base + i * R8 + Hkv, :]
+                             for i in range(BP)],
+                            axis=1,
+                        )  # [Hkv, N] k scales
+                        parts.append(
+                            (sc[m * ROWS : (m + 1) * ROWS].reshape(Hkv, RH, N)
+                             * srow[:, None, :]).reshape(ROWS, N)
+                        )
+                    sc = jnp.concatenate(parts, 0) if M > 1 else parts[0]
+                sc = jnp.where(group_mask(blk), sc, NEG_INF)
+                m_n = jnp.maximum(m_c, jnp.max(sc, axis=1, keepdims=True))
+                p = jnp.exp(sc - m_n)
+                alpha = jnp.exp(m_c - m_n)
+                l_n = alpha * l_c + jnp.sum(p, axis=1, keepdims=True)
+                if has_scale:
+                    parts = []
+                    for m in range(M):
+                        base = m * BP * R8
+                        srow = jnp.concatenate(
+                            [sbufs[slot,
+                                   base + i * R8 + Hkv : base + i * R8 + 2 * Hkv,
+                                   :]
+                             for i in range(BP)],
+                            axis=1,
+                        )  # [Hkv, N] v scales
+                        parts.append(
+                            (p[m * ROWS : (m + 1) * ROWS].reshape(Hkv, RH, N)
+                             * srow[:, None, :]).reshape(ROWS, N)
+                        )
+                    p = jnp.concatenate(parts, 0) if M > 1 else parts[0]
+                pv = jax.lax.dot_general(
+                    p.astype(mmd), kvb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [MROWS, M*W]; p@K halves + off-diag blocks discarded
+                return m_n, l_n, alpha * acc + pv * v_mul
+
+            init = (
+                jnp.full((MROWS, 1), NEG_INF, jnp.float32),
+                jnp.zeros((MROWS, 1), jnp.float32),
+                jnp.zeros((MROWS, M * W), jnp.float32),
+            )
+            m_c, l_c, acc = jax.lax.fori_loop(0, nbmax, body, init)
+            o = acc / jnp.maximum(l_c, 1e-30)
+            for m in range(M):
+                for h in range(Hkv):
+                    out_ref[s0 + m, h * G : (h + 1) * G, :] = o[
+                        m * ROWS + h * RH : m * ROWS + h * RH + G,
+                        m * W + HD + h * D : m * W + HD + (h + 1) * D,
+                    ].astype(out_ref.dtype)
+
+        cur = jax.lax.rem(cur + nbmax, 2)
+
+    slot_ref[0] = cur
+
+
 def paged_decode_attention(
     q: jnp.ndarray,         # [B, S*Hq, D] (S = num_queries; decode S=1)
     kv_l: jnp.ndarray,      # [(num_pages+1)*P, Hkv*2*D]
@@ -494,6 +838,7 @@ def paged_decode_attention(
     kv_scale: Optional[jnp.ndarray] = None,  # [num_pages+1, Hkv*2*P] f32 page-major
     num_queries: int = 1,
     merged: bool = True,
+    merge_seqs: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
     B, SHq, D = q.shape
@@ -502,37 +847,63 @@ def paged_decode_attention(
     assert Hq * S == SHq, (SHq, S)
     pages_per_seq = page_tbl.shape[1]
     BP = min(pages_per_block, pages_per_seq)
+    # M-sequence compute merging (grouped kernel): decode-only (S == 1),
+    # merged path only, and needs an SB that both divides B and is a
+    # multiple of M — otherwise fall back to the per-sequence kernel.
+    M = merge_seqs if (merged and S == 1 and merge_seqs > 1) else 1
     SB = min(seqs_per_block, B)
-    while B % SB:
+    while SB >= max(M, 1) and (B % SB or SB % max(M, 1)):
         SB -= 1
+    if M > 1 and (SB < M or SB % M):
+        M = 1
+        SB = min(seqs_per_block, B)
+        while B % SB:
+            SB -= 1
     row_width = kv_l.shape[-1]
     assert row_width == num_kv_heads * 2 * D, (row_width, num_kv_heads, D)
     if sm_scale is None:
         sm_scale = D ** -0.5
 
     has_scale = kv_scale is not None
-    kernel = functools.partial(
-        _decode_kernel,
-        has_scale=has_scale,
-        num_seqs=B,
-        num_kv_heads=num_kv_heads,
-        head_dim=D,
-        page_size=page_size,
-        pages_per_block=BP,
-        pages_per_seq=pages_per_seq,
-        seqs_per_block=SB,
-        sm_scale=sm_scale,
-        k_scale=k_scale,
-        v_scale=v_scale,
-        num_queries=S,
-        merged=merged,
-    )
+    if M > 1:
+        kernel = functools.partial(
+            _decode_kernel_grouped,
+            has_scale=has_scale,
+            num_seqs=B,
+            num_kv_heads=num_kv_heads,
+            head_dim=D,
+            page_size=page_size,
+            pages_per_block=BP,
+            pages_per_seq=pages_per_seq,
+            seqs_per_block=SB,
+            merge_seqs=M,
+            sm_scale=sm_scale,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+    else:
+        kernel = functools.partial(
+            _decode_kernel,
+            has_scale=has_scale,
+            num_seqs=B,
+            num_kv_heads=num_kv_heads,
+            head_dim=D,
+            page_size=page_size,
+            pages_per_block=BP,
+            pages_per_seq=pages_per_seq,
+            seqs_per_block=SB,
+            sm_scale=sm_scale,
+            k_scale=k_scale,
+            v_scale=v_scale,
+            num_queries=S,
+            merged=merged,
+        )
     in_specs = [
         pl.BlockSpec((SB, SHq, D), lambda g, lens, tbl: (g, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, BP * page_size, row_width), kv_l.dtype),
+        pltpu.VMEM((2, BP * page_size, M * row_width), kv_l.dtype),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SMEM((1,), jnp.int32),
     ]
@@ -549,7 +920,7 @@ def paged_decode_attention(
         )
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
         scratch_shapes.insert(
-            1, pltpu.VMEM((2, BP * R8, page_size), jnp.float32)
+            1, pltpu.VMEM((2, M * BP * R8, page_size), jnp.float32)
         )
         operands.append(kv_scale)
     # NOTE on operand staging: XLA memory-space-assignment stages the pool
@@ -619,6 +990,7 @@ def pallas_attention(
     pages_per_block: int = 8,
     k_scale: Optional[float] = None,
     v_scale: Optional[float] = None,
+    merge_seqs: int = 1,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in attn_impl: Pallas paged kernel for decode (S == 1) and for
@@ -645,6 +1017,7 @@ def pallas_attention(
         ("k_scale", k_scale),
         ("v_scale", v_scale),
         ("num_queries", S),
+        ("merge_seqs", merge_seqs),
         ("interpret", interpret),
     )
     fn = _jitted_paged_decode(kv_scale is not None, statics)

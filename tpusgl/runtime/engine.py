@@ -90,8 +90,18 @@ class Engine:
         # mode on CPU this way).
         if paged_kernel is None:
             paged_kernel = False
+        # Compiled Pallas kernels need 128-lane-aligned KV rows: the pool's
+        # minor dim is (local Hkv) * 2 * head_dim, and Mosaic rejects DMA
+        # slices narrower than the 128-lane tile (observed on the committed
+        # tiny checkpoint, Hkv=2 x D=16 -> 64-wide rows). Tiny models fall
+        # back to the jnp paths — they are not perf-relevant.
+        mc = self.model_cfg
+        kv_row_ok = (
+            (mc.num_key_value_heads // max(1, self.cfg.tp))
+            * 2 * mc.head_dim
+        ) % 128 == 0
         if attn_impl is None:
-            if jax.default_backend() == "tpu":
+            if jax.default_backend() == "tpu" and kv_row_ok:
                 import functools
 
                 from tpusgl.ops.paged_attention import pallas_attention
@@ -101,6 +111,7 @@ class Engine:
                     pallas_attention,
                     page_size=self.cfg.page_size,
                     pages_per_block=self.cfg.pages_per_block,
+                    merge_seqs=self.cfg.decode_merge_seqs,
                 )
                 # The flash prefill kernel's packed-query reshape needs
                 # 128-lane-aligned head_dim (Mosaic "unsupported shape cast"

@@ -117,6 +117,10 @@ class Scheduler:
         self.chunking: Optional[dict] = None
         self._chunk_turn = False
 
+        # Speculation auto-disable state (deterministic across processes).
+        self._spec_off_steps = 0
+        self._spec_window: List[Tuple[int, int]] = []  # (proposed, accepted)
+
         self.est_new_token_ratio = engine_cfg.new_token_ratio_init
         self._decay = (
             engine_cfg.new_token_ratio_init - engine_cfg.new_token_ratio_min
@@ -187,6 +191,8 @@ class Scheduler:
         self.finished.clear()
         self.chunking = None
         self._chunk_turn = False
+        self._spec_off_steps = 0
+        self._spec_window = []
         self.est_new_token_ratio = self.cfg.new_token_ratio_init
         self.clear_metrics()
         # the host KV tier deliberately survives reset: it is keyed by
@@ -1003,6 +1009,14 @@ class Scheduler:
         P = self.P
         K = self._pick_window(batch)
 
+        # Batch rows sorted by context length (desc): the Pallas decode
+        # kernel merges adjacent sequences' compute (decode_merge_seqs), and
+        # a merged group runs to its LONGEST member's block count — sorting
+        # makes group members near-equal so almost no merged compute is
+        # wasted. Deterministic (ties broken by slot index) so multihost
+        # schedule digests stay identical across processes.
+        batch = sorted(batch, key=lambda r: (-r.seq_len, r.req_pool_idx))
+
         Bb = pick_bucket(B, self.cfg.decode_bs_buckets)
         R = self.cfg.max_requests  # dummy row index
         pps = self.cfg.pages_per_seq
@@ -1054,6 +1068,8 @@ class Scheduler:
             samp, cmask, simple=simple,
         )
         self.metrics["decode_steps"] += 1
+        if self._spec_off_steps > 0:
+            self._spec_off_steps -= 1  # count down toward the next re-probe
         # decode_tokens counts at COMMIT (tokens actually delivered):
         # window tails past eos/max_new and retracted-epoch submissions
         # roll back and must not inflate reported throughput.
@@ -1077,8 +1093,11 @@ class Scheduler:
     def _spec_ok(self, batch: List[Request], mode: str) -> bool:
         """Prompt-lookup speculation applies to pure-greedy decode batches
         (exact: every accepted token equals what plain greedy decode would
-        have produced)."""
+        have produced) — and only while the rolling acceptance rate says it
+        pays (see EngineConfig.speculative_min_acceptance)."""
         if mode != "decode" or self.cfg.speculative_tokens <= 0 or not batch:
+            return False
+        if self._spec_off_steps > 0:
             return False
         return all(
             not r.do_sample
@@ -1222,6 +1241,7 @@ class Scheduler:
     def _commit_spec(self, sub: _Submission) -> None:
         greedy = np.asarray(sub.next_ids_dev[0])  # [Bb, S]
         accept = np.asarray(sub.next_ids_dev[1])  # [Bb]
+        step_proposed = step_accepted = 0
         for i, req in enumerate(sub.requests):
             seq_old, ext, pages, first_new_page = sub.spec_meta[i]
             if req.epoch != sub.epochs[i]:
@@ -1235,6 +1255,8 @@ class Scheduler:
                 continue
             req.inflight_steps -= 1
             a = min(int(accept[i]), ext - 1)
+            step_proposed += ext - 1
+            step_accepted += a
             appended = 0
             for j in range(a + 1):
                 t = int(greedy[i, j])
@@ -1265,6 +1287,27 @@ class Scheduler:
                 self._cache_finished(req)
                 self.finished.append(req)
         self.decoding = [r for r in self.decoding if not r.finished]
+
+        # Rolling-acceptance gate: derived purely from committed tokens, so
+        # every multihost process flips speculation off/on at the same step.
+        self._spec_window.append((step_proposed, step_accepted))
+        if len(self._spec_window) >= self.cfg.speculative_probe_steps:
+            prop = sum(p for p, _ in self._spec_window)
+            acc = sum(a for _, a in self._spec_window)
+            rate = acc / prop if prop else 0.0
+            if rate < self.cfg.speculative_min_acceptance:
+                self._spec_off_steps = self.cfg.speculative_reprobe_interval
+                self.metrics["spec_disables"] = (
+                    self.metrics.get("spec_disables", 0) + 1
+                )
+                logger.info(
+                    "speculation off for %d decode steps (acceptance %.1f%% "
+                    "< %.0f%% over %d spec steps)",
+                    self._spec_off_steps, 100 * rate,
+                    100 * self.cfg.speculative_min_acceptance,
+                    len(self._spec_window),
+                )
+            self._spec_window = []
 
     def _kv_bucket(self, max_len: int) -> int:
         b = round_up(max(max_len, 1), self.cfg.kv_len_bucket)
