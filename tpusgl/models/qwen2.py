@@ -300,11 +300,14 @@ def lm_head_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp
     """[..., hidden] -> [..., vocab] in fp32 (tied embeddings, qwen2.py:31-35).
 
     An int8-quantized head (loader.quantize_lm_head) is stored as a Linear
-    {"w": [H, V] int8, "s": [V]} and runs through the fused dequant matmul;
-    its bf16 result is widened to f32 for the sampling ops."""
+    {"w": [H, V] int8, "s": [V]} and runs through the fused dequant matmul
+    with out_dtype=f32: the kernel accumulates f32 and applies the per-vocab
+    scale on the f32 accumulator, so head logits keep full precision (an
+    apply_linear round-trip would truncate them to bf16 between the scale
+    and the widen, an extra loss the bf16-head path does not incur)."""
     w = params["embed"] if cfg.tie_word_embeddings else params["lm_head"]
     if isinstance(w, dict):
-        from tpusgl.ops.linear import apply_linear
+        from tpusgl.ops.linear import quantized_matmul_f32
 
-        return apply_linear(hidden, w).astype(jnp.float32)
+        return quantized_matmul_f32(hidden, w)
     return jnp.dot(hidden, w.T, preferred_element_type=jnp.float32)

@@ -183,3 +183,31 @@ def apply_linear(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
     if "b" in lin:
         y = y + lin["b"].astype(y.dtype)
     return y
+
+
+def quantized_matmul_f32(x: jnp.ndarray, lin: Linear) -> jnp.ndarray:
+    """x @ dequant(w) with FULL f32 output — no downcast to x.dtype between
+    the f32 accumulation, the per-channel scale, and the return. Used by the
+    int8 LM head: logits feed argmax/sampling, where a bf16 round-trip
+    (8 mantissa bits) can flip near-tie decisions."""
+    quantized = "w4" in lin or lin["w"].dtype == jnp.int8
+    if quantized and _USE_QUANT_MATMUL:
+        from tpusgl.ops.quant_matmul import quant_matmul_any
+
+        try:
+            return quant_matmul_any(
+                x, lin, out_dtype=jnp.float32, interpret=_QM_INTERPRET
+            )
+        except ValueError:
+            pass
+    if "w4" in lin:
+        wf = dequantize_weight(lin, jnp.float32)
+        y = jnp.dot(x, wf, preferred_element_type=jnp.float32)
+    elif lin["w"].dtype == jnp.int8:
+        y = jnp.dot(x, lin["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y * lin["s"].astype(jnp.float32)
+    else:
+        y = jnp.dot(x, lin["w"], preferred_element_type=jnp.float32)
+    if "b" in lin:
+        y = y + lin["b"].astype(jnp.float32)
+    return y

@@ -198,11 +198,19 @@ def _jitted_qmm(kind: str, out_dtype: str, bm: int, bn: int, bk: int,
     return jax.jit(call, inline=True)
 
 
-def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
+def quant_matmul_any(x: jnp.ndarray, lin, *, out_dtype=None,
+                     interpret: bool = False):
     """apply_linear-compatible wrapper: flattens leading dims, pads M to the
     tile multiple, picks lane-aligned tiles, dispatches int8/int4, adds
     bias. Raises ValueError for shapes the kernel does not cover (caller
-    falls back to the jnp path)."""
+    falls back to the jnp path).
+
+    `out_dtype` overrides the output dtype (default: x.dtype). The kernel
+    accumulates f32 and applies the per-channel scale on the f32
+    accumulator, so out_dtype=float32 yields full-precision scaled outputs
+    with no intermediate downcast — used by the int8 LM head, where a bf16
+    round-trip would truncate logits to 8 mantissa bits and could flip
+    near-tie argmax decisions."""
     w = lin["w4"] if "w4" in lin else lin["w"]
     *lead, K = x.shape
     _, N = w.shape
@@ -230,14 +238,11 @@ def quant_matmul_any(x: jnp.ndarray, lin, *, interpret: bool = False):
     pad = (-M) % bm
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))
+    odt = jnp.dtype(out_dtype or x.dtype).name
     if gs is not None:
-        y = _jitted_qmm("int4", jnp.dtype(x.dtype).name, bm, bn, bk, interpret)(
-            xf, w, gs
-        )
+        y = _jitted_qmm("int4", odt, bm, bn, bk, interpret)(xf, w, gs)
     else:
-        y = _jitted_qmm("int8", jnp.dtype(x.dtype).name, bm, bn, bk, interpret)(
-            xf, w, lin["s"]
-        )
+        y = _jitted_qmm("int8", odt, bm, bn, bk, interpret)(xf, w, lin["s"])
     if pad:
         y = y[:M]
     y = y.reshape(*lead, N)

@@ -153,16 +153,28 @@ def schedule_digest(mode: str, req_indices, seq_lens) -> bytes:
 
 
 def assert_same_schedule(digest: bytes) -> None:
-    """Debug cross-check that all hosts made the same batch decision this
-    step (divergence would hang the SPMD programs). No-op single-process."""
+    """Cross-check that all hosts made the same batch decision this step
+    (divergence would hang the SPMD programs). No-op single-process.
+
+    ALL-gather, not broadcast-and-compare: with a host-0 broadcast only the
+    divergent NON-zero ranks would raise while host 0 sailed into the next
+    SPMD program and hung in its collectives — the exact failure mode this
+    check exists to prevent. With the allgather every process sees every
+    digest and every process raises, so a divergence surfaces as a clean
+    synchronized error on all ranks (tests/test_multihost.py::
+    test_divergence_raises_cleanly_on_all_ranks)."""
     if jax.process_count() == 1:
         return
     from jax.experimental import multihost_utils
 
     arr = np.frombuffer(digest, dtype=np.uint8)
-    ref = multihost_utils.broadcast_one_to_all(arr)
-    if not np.array_equal(arr, ref):
+    all_digests = multihost_utils.process_allgather(arr)  # [P, 32]
+    if not (all_digests == all_digests[0]).all():
+        bad = [
+            p for p in range(all_digests.shape[0])
+            if not np.array_equal(all_digests[p], all_digests[0])
+        ]
         raise RuntimeError(
-            f"scheduler divergence on process {jax.process_index()}: "
-            "hosts disagree on the batch for this step"
+            f"scheduler divergence detected on process {jax.process_index()}"
+            f": processes {bad} disagree with process 0 on this step's batch"
         )
