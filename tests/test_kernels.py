@@ -349,6 +349,24 @@ def test_quant_matmul_int4_groupwise():
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4)
 
 
+def test_quant_matmul_int4_group64_multigroup_block():
+    """Group 64 (the production int4 group): narrower than the 128-lane
+    block minimum, so the kernel packs 2 groups per k step with a
+    transposed-x layout — must match the jnp dequant reference exactly."""
+    from tpusgl.ops.linear import dequantize_weight, init_linear, quantize_linear_int4
+    from tpusgl.ops.quant_matmul import quant_matmul_any
+
+    lin = init_linear(jax.random.PRNGKey(6), None, 512, 256, jnp.float32, bias=False)
+    q = quantize_linear_int4(lin, group_size=64)
+    for M in (1, 16, 100):
+        x = jax.random.normal(jax.random.PRNGKey(M), (M, 512), jnp.float32)
+        y = quant_matmul_any(x, q, interpret=True)
+        y_ref = x @ dequantize_weight(q, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), rtol=1e-4, atol=1e-4
+        )
+
+
 def test_quant_matmul_leading_dims_and_fallback():
     from tpusgl.ops.linear import init_linear, quantize_linear_int8
     from tpusgl.ops.quant_matmul import quant_matmul_any

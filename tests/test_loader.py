@@ -60,8 +60,13 @@ def test_streaming_host_quant_matches_device_quant(ckpt, wd):
     for l in range(TINY.num_hidden_layers):
         for name in ("qkv", "o", "gate_up", "down"):
             lin = bf["layers"][l][name]
+            # under int4 the sensitive matrices store int8 (the measured
+            # int4_keep_int8 recipe) — the host path must apply it too
+            use_int8 = wd == "int8" or (
+                wd == "int4" and name in quant.int4_keep_int8
+            )
             ref = (
-                quantize_linear_int8(lin) if wd == "int8"
+                quantize_linear_int8(lin) if use_int8
                 else quantize_linear_int4(lin, 64)
             )
             _tree_equal(streamed["layers"][l][name], ref)

@@ -37,10 +37,13 @@ import sys
 
 
 ABS_GATES = {"int8": 0.1, "int4": 0.3}   # real-corpus absolute PPL deltas
-# Synthetic-corpus relative deltas. int4's 0.25 is a regression bound
-# calibrated to the measured unstructured worst case (+0.192 on random
-# gaussian weights, round 3) — see the module docstring.
-REL_GATES = {"int8": 0.01, "int4": 0.25}
+# Synthetic-corpus relative deltas. int4's bound tracks the production
+# recipe's measured unstructured worst case: group-64 [-8,7] MSE-clip with
+# qkv/o kept int8 (QuantConfig.int4_keep_int8) measures +4.1% relative on
+# random gaussian weights (round 5; the old all-int4-g128 recipe measured
+# +15.8% and was gated at 25%). 10% catches implementation regressions
+# (broken packing / scales / grouping / mix selection) with 2.4x margin.
+REL_GATES = {"int8": 0.01, "int4": 0.10}
 
 
 def main() -> None:
@@ -111,9 +114,11 @@ def main() -> None:
                    "absolute PPL delta vs bf16 (BASELINE.md gates)"
                    if real_corpus else
                    "relative PPL delta vs bf16; int8 gated at <= 1% "
-                   "(= 0.1 abs at PPL 10); int4 gated at <= 25% (regression "
-                   "bound vs the measured unstructured worst case; the "
-                   "BASELINE.md 0.3 abs quality gate binds to --corpus runs)"
+                   "(= 0.1 abs at PPL 10); int4 gated at <= 10% (regression "
+                   "bound vs the production recipe's measured unstructured "
+                   "worst case, +4.7%: group-64 [-8,7] MSE-clip with qkv/o "
+                   "kept int8; the BASELINE.md 0.3 abs quality gate binds "
+                   "to --corpus runs)"
                ),
                "windows": int(windows.shape[0]), "window": int(windows.shape[1])}
     ppl_bf16 = compute_ppl(params, cfg, windows, batch_size=args.batch_size)

@@ -110,7 +110,7 @@ def _np_quantize_int4(w: np.ndarray, group_size: int):
     """[in, out] fp32 -> (packed int8 [in//2, out], scales f32 [in//G, out]);
     byte layout and MSE clip-ratio search identical to
     ops/linear.quantize_linear_int4."""
-    from tpusgl.ops.linear import INT4_CLIP_CANDIDATES
+    from tpusgl.ops.linear import INT4_CLIP_CANDIDATES, INT4_LO, INT4_QMAX
 
     in_dim, out_dim = w.shape
     assert in_dim % group_size == 0, (in_dim, group_size)
@@ -121,8 +121,8 @@ def _np_quantize_int4(w: np.ndarray, group_size: int):
     best_err = None
     gs = q = None
     for c in INT4_CLIP_CANDIDATES:
-        s = (absmax * (c / 7.0)) + 1e-12
-        qc = np.clip(np.round(wg / s), -7, 7)
+        s = (absmax * (c / INT4_QMAX)) + 1e-12
+        qc = np.clip(np.round(wg / s), INT4_LO, 7)
         err = ((qc * s - wg) ** 2).sum(axis=1, keepdims=True)
         if best_err is None:
             best_err, gs, q = err, s, qc
@@ -163,15 +163,27 @@ def int4_compatible(
     return in_dim % (group_size * tp) == 0
 
 
+def int4_effective_dtype(
+    name: str, in_dim: int, quant: QuantConfig, tp: int, row_parallel: bool
+) -> str:
+    """Storage dtype for a linear under weight_dtype="int4": the
+    PPL-sensitive matrices (quant.int4_keep_int8 — measured recipe, see
+    QuantConfig) and tp-incompatible group shardings store INT8."""
+    if name in (quant.int4_keep_int8 or ()):
+        return "int8"
+    if not int4_compatible(in_dim, quant.group_size, tp, row_parallel):
+        return "int8"
+    return "int4"
+
+
 def _quantize_linear_np(
     w: np.ndarray, quant: Optional[QuantConfig], dtype,
     b: Optional[np.ndarray] = None, tp: int = 1, row_parallel: bool = True,
+    name: str = "",
 ) -> Dict[str, np.ndarray]:
     wd = quant.weight_dtype if quant is not None else "bf16"
-    if wd == "int4" and not int4_compatible(
-        w.shape[0], quant.group_size, tp, row_parallel
-    ):
-        wd = "int8"
+    if wd == "int4":
+        wd = int4_effective_dtype(name, w.shape[0], quant, tp, row_parallel)
     if wd == "int8":
         q, s = _np_quantize_int8(w)
         out = {"w": q, "s": s}
@@ -204,10 +216,10 @@ def layer_struct(
     def sds(shape, dt):
         return jax.ShapeDtypeStruct(shape, jnp.dtype(dt))
 
-    def lin(in_dim, out_dim, bias=False, row_parallel=True):
+    def lin(name, in_dim, out_dim, bias=False, row_parallel=True):
         wd = base_wd
-        if wd == "int4" and not int4_compatible(in_dim, G, tp, row_parallel):
-            wd = "int8"
+        if wd == "int4":
+            wd = int4_effective_dtype(name, in_dim, quant, tp, row_parallel)
         if wd == "int8":
             d = {"w": sds((in_dim, out_dim), jnp.int8),
                  "s": sds((out_dim,), jnp.float32)}
@@ -223,10 +235,11 @@ def layer_struct(
     layer = {
         "input_norm": sds((H,), dtype),
         "post_norm": sds((H,), dtype),
-        "qkv": lin(H, qkv_out, bias=cfg.attention_bias, row_parallel=False),
-        "o": lin(cfg.q_size, H),
-        "gate_up": lin(H, 2 * I, row_parallel=False),
-        "down": lin(I, H),
+        "qkv": lin("qkv", H, qkv_out, bias=cfg.attention_bias,
+                   row_parallel=False),
+        "o": lin("o", cfg.q_size, H),
+        "gate_up": lin("gate_up", H, 2 * I, row_parallel=False),
+        "down": lin("down", I, H),
     }
     if cfg.qk_norm:
         layer["q_norm"] = sds((cfg.head_dim,), dtype)
@@ -303,18 +316,19 @@ def _read_layer_np(
             reader.get(p + "post_attention_layernorm.weight"), dtype
         ),
         "qkv": _quantize_linear_np(
-            qkv_w, quant, dtype, b=qkv_b, tp=tp, row_parallel=False
+            qkv_w, quant, dtype, b=qkv_b, tp=tp, row_parallel=False,
+            name="qkv",
         ),
         "o": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "self_attn.o_proj.weight").T),
-            quant, dtype, tp=tp,
+            quant, dtype, tp=tp, name="o",
         ),
         "gate_up": _quantize_linear_np(
-            gate_up, quant, dtype, tp=tp, row_parallel=False
+            gate_up, quant, dtype, tp=tp, row_parallel=False, name="gate_up",
         ),
         "down": _quantize_linear_np(
             np.ascontiguousarray(reader.get(p + "mlp.down_proj.weight").T),
-            quant, dtype, tp=tp,
+            quant, dtype, tp=tp, name="down",
         ),
     }
     if cfg.qk_norm:
@@ -408,17 +422,17 @@ def init_params_streamed(
     def init_layer(k):
         ks = jax.random.split(k, 4)
 
-        def lin(kk, in_dim, out_dim, bias, row_parallel=True):
+        def lin(name, kk, in_dim, out_dim, bias, row_parallel=True):
             w = (
                 jax.random.normal(kk, (in_dim, out_dim), jnp.float32)
                 / math.sqrt(in_dim)
             ).astype(dtype)
             d = {"w": w}
             lwd = wd
-            if lwd == "int4" and not int4_compatible(
-                in_dim, quant.group_size, streamer.tp, row_parallel
-            ):
-                lwd = "int8"
+            if lwd == "int4":
+                lwd = int4_effective_dtype(
+                    name, in_dim, quant, streamer.tp, row_parallel
+                )
             if lwd == "int8":
                 d = quantize_linear_int8(d)
             elif lwd == "int4":
@@ -430,11 +444,12 @@ def init_params_streamed(
         layer = {
             "input_norm": jnp.ones((H,), dtype),
             "post_norm": jnp.ones((H,), dtype),
-            "qkv": lin(ks[0], H, qkv_out, cfg.attention_bias,
+            "qkv": lin("qkv", ks[0], H, qkv_out, cfg.attention_bias,
                        row_parallel=False),
-            "o": lin(ks[1], cfg.q_size, H, False),
-            "gate_up": lin(ks[2], H, 2 * I, False, row_parallel=False),
-            "down": lin(ks[3], I, H, False),
+            "o": lin("o", ks[1], cfg.q_size, H, False),
+            "gate_up": lin("gate_up", ks[2], H, 2 * I, False,
+                           row_parallel=False),
+            "down": lin("down", ks[3], I, H, False),
         }
         if streamer.tp > 1:
             from tpusgl.parallel.mesh import permute_layer_for_tp
@@ -520,11 +535,11 @@ def quantize_params(
         for name in ("qkv", "o", "gate_up", "down"):
             lin = layer[name]
             wd = quant.weight_dtype
-            if wd == "int4" and not int4_compatible(
-                lin["w"].shape[0], quant.group_size, tp,
-                row_parallel=name in ("o", "down"),
-            ):
-                wd = "int8"
+            if wd == "int4":
+                wd = int4_effective_dtype(
+                    name, lin["w"].shape[0], quant, tp,
+                    row_parallel=name in ("o", "down"),
+                )
             layer[name] = q4(lin) if wd == "int4" else q8(lin)
         new_layers.append(layer)
     out["layers"] = tuple(new_layers)

@@ -59,34 +59,54 @@ def _qmm_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int):
+def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int,
+                     gpb: int = 1):
+    """gpb == 1: x block [BM, BK], one group (BK == G) per k step.
+    gpb > 1 (groups narrower than the 128-lane block minimum, e.g. the
+    production group 64): x arrives TRANSPOSED ([BK, BM] — the k segments
+    are then 8-aligned SUBLANE slices, which Mosaic supports, where 64-lane
+    slices are rejected); each of the gpb groups is dotted against its own
+    K segment and scaled by its own gs row on the f32 accumulator, so
+    precision is identical to the single-group path."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Unpack the [G//2, BN] byte tile into the [G, BN] value tile: nibble
-    # sign-extend via (v ^ 8) - 8, halves stacked along sublanes (the packer
-    # put rows [0, G/2) in low nibbles and [G/2, G) in high nibbles).
+    # Unpack the [BK//2, BN] byte tile per group: nibble sign-extend via
+    # (v ^ 8) - 8, halves stacked along sublanes (the packer put a group's
+    # rows [0, G/2) in low nibbles and [G/2, G) in high nibbles).
     wi = w_ref[...].astype(jnp.int32)
-    lo = ((wi & 0xF) ^ 8) - 8
-    hi = (((wi >> 4) & 0xF) ^ 8) - 8
-    # Activation-dtype weights feed the MXU's fast path (int4 values are
-    # exact in bf16); accumulate in f32 (see _qmm_int8_kernel).
-    wt = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)
-    part = jax.lax.dot_general(
-        x_ref[...],
-        wt,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # One group per k step (BK == group_size): the group scale is constant
-    # over the tile's K range, so it distributes over the partial product.
-    # gs_ref holds ALL nk scale rows (a [nk, BN] block: nk is rarely a
-    # multiple of 8, so a (1, BN) block would violate TPU block-shape rules);
-    # pick this step's row dynamically.
-    acc_ref[...] += part * gs_ref[pl.ds(k, 1), :]
+    half = wi.shape[0] // gpb  # packed rows per group (= G // 2)
+    for j in range(gpb):
+        seg = wi[j * half : (j + 1) * half]
+        lo = ((seg & 0xF) ^ 8) - 8
+        hi = (((seg >> 4) & 0xF) ^ 8) - 8
+        # Activation-dtype weights feed the MXU's fast path (int4 values
+        # are exact in bf16); accumulate in f32 (see _qmm_int8_kernel).
+        wt = jnp.concatenate([lo, hi], axis=0).astype(x_ref.dtype)  # [G, BN]
+        if gpb == 1:
+            part = jax.lax.dot_general(
+                x_ref[...],
+                wt,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            G = 2 * half
+            xseg = x_ref[j * G : (j + 1) * G, :]  # [G, BM] (transposed x)
+            part = jax.lax.dot_general(
+                xseg,
+                wt,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BM, BN]
+        # The group scale is constant over its K segment, so it distributes
+        # over the partial product. gs_ref holds ALL nk*gpb scale rows (a
+        # (1, BN) block would violate TPU block-shape rules); pick this
+        # group's row dynamically.
+        acc_ref[...] += part * gs_ref[pl.ds(k * gpb + j, 1), :]
 
     @pl.when(k == nk - 1)
     def _done():
@@ -114,9 +134,17 @@ def quant_matmul(
     assert K == (2 * K2 if packed else K2), (x.shape, w.shape)
     out_dtype = out_dtype or x.dtype
 
+    gpb = 1
     if packed:
         G = K // gs.shape[0]
-        bk = G  # one scale row (and one packed byte block) per k step
+        # One packed byte block per k step, at least 128 lanes of x per
+        # block (Mosaic block-shape rule): groups narrower than 128 pack
+        # several groups per step (gpb), each dotted against its own K
+        # segment and scaled by its own gs row in the kernel.
+        bk = G
+        while bk < 128 and K % (bk * 2) == 0:
+            bk *= 2
+        gpb = bk // G
     bm = min(bm, max(8, M))
     bn = min(bn, N)
     bk = min(bk, K)
@@ -133,17 +161,24 @@ def quant_matmul(
         w_spec = pl.BlockSpec((bk, bn), lambda m, n, k: (k, n))
         w_bytes = K * N
     else:
-        kernel = functools.partial(_qmm_int4_kernel, nk=nk)
+        kernel = functools.partial(_qmm_int4_kernel, nk=nk, gpb=gpb)
         scale_op = gs.astype(jnp.float32)
-        scale_spec = pl.BlockSpec((nk, bn), lambda m, n, k: (0, n))
+        scale_spec = pl.BlockSpec((nk * gpb, bn), lambda m, n, k: (0, n))
         w_spec = pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n))
         w_bytes = K * N // 2
+
+    if gpb > 1:  # transposed-x layout (see _qmm_int4_kernel docstring)
+        x_op = x.T
+        x_spec = pl.BlockSpec((bk, bm), lambda m, n, k: (k, m))
+    else:
+        x_op = x
+        x_spec = pl.BlockSpec((bm, bk), lambda m, n, k: (m, k))
 
     return pl.pallas_call(
         kernel,
         grid=(nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            x_spec,
             w_spec,
             scale_spec,
         ],
@@ -159,7 +194,7 @@ def quant_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, w, scale_op)
+    )(x_op, w, scale_op)
 
 
 def _pick_tile(dim: int, cap: int) -> Optional[int]:
