@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--speculative-tokens", type=int, default=None,
                         help="prompt-lookup draft tokens per verify step "
                         "(default: 4 in spec mode, 0 otherwise)")
+    parser.add_argument("--spec-workload", default="random",
+                        choices=["random", "echo"],
+                        help="spec mode prompt structure: echo = periodic "
+                        "32-token spans (copy-style workload; pair with "
+                        "--model tests/assets/tiny_echo, the committed "
+                        "checkpoint TRAINED to continue the period, where "
+                        "prompt-lookup drafts are accepted at high rate)")
     parser.add_argument("--model", default="qwen2.5-7b")
     parser.add_argument("--num-seqs", type=int, default=256)
     parser.add_argument("--min-input", type=int, default=100)
@@ -184,11 +191,12 @@ def main() -> None:
         max_total_tokens=max_requests * ctx,
         page_size=page_size,
         pages_per_block=ppb,
-        # Decode batch bucket rounded to a multiple of 32 so the Pallas
-        # kernel's grid keeps seqs_per_block=16 (and merge groups pair
-        # cleanly): 90 -> 96 costs 6 padded q rows (nb==0 fast path),
-        # far cheaper than the 9-vs-6 grid steps an odd divisor forces.
-        decode_bs_buckets=(round_up(max_requests, 32),),
+        # Decode batch bucket = the pool size. (A 96-padded bucket that
+        # keeps seqs_per_block=16 for the merge-group kernel was measured
+        # at -1% throughput with merging off — padding rows and the f32
+        # logits aren't free — so the round-up only applies if the merged
+        # kernel is ever enabled.)
+        decode_bs_buckets=(max_requests,),
         prefill_token_budget=args.prefill_budget,
         prefill_len_buckets=tuple(
             b for b in (128, 256, 512, 1024, 2048, 4096)
@@ -229,6 +237,15 @@ def main() -> None:
             for n in sorted(lat_lens)
             for _ in range(max(lat_batches))
         ]
+    elif args.mode == "spec" and args.spec_workload == "echo":
+        # periodic prompts: each is a random 32-token span tiled to its
+        # length; the tiny_echo model continues the period, so every
+        # n-gram draft from the request's own history matches
+        prompts = []
+        for _ in range(args.num_seqs):
+            n = int(rng.integers(args.min_input, args.max_input + 1))
+            span = rng.integers(0, vocab, 32)
+            prompts.append(np.tile(span, n // 32 + 1)[:n].tolist())
     else:
         prompts = [
             rng.integers(0, vocab, rng.integers(args.min_input, args.max_input + 1))

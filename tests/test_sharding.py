@@ -378,3 +378,97 @@ def test_72b_geometry_int4_tp8_executes():
     assert 0 <= first1 < cfg.vocab_size
     assert all(0 <= t < cfg.vocab_size for t in ids1)
     assert (first1, ids1) == (first2, ids2), "non-deterministic tp=8 int4 run"
+
+
+def test_72b_dims_int4_tp8_fast_ci():
+    """Default-CI guard for the 72B multi-chip flagship path (VERDICT r4
+    #8): SAME per-layer dims and tp geometry as the slow 45-min test
+    (hidden 8192, intermediate 29568, 64 q / 8 kv heads, int4 weights with
+    the int8 keep-mix and the 29568 down-proj fallback, int8 KV, Pallas
+    decode kernel in interpret mode under shard_map tp=8) but ONE layer,
+    one clip candidate for the int4 init search, a single decode step, and
+    the jnp dequant-matmul path for the linears (the packed int4 weights
+    and tp sharding are identical; interpret-mode quant matmuls at these
+    dims alone cost ~20 min on CPU and are covered at smaller geometry by
+    test_kernels / the int4 tp tests — the 45-min TPUSGL_SLOW_TESTS test
+    keeps full kernel-interpret coverage). f32 activations: CPU bf16
+    matmuls are emulated and ~2x slower; the int4/int8 storage and
+    sharding under test are dtype-independent."""
+    import functools
+
+    import tpusgl.ops.linear as linear_mod
+    from tpusgl.ops.linear import enable_quant_matmul
+
+    enable_quant_matmul(False)  # jnp dequant path for the linears (speed)
+    from tpusgl.config import QuantConfig
+    from tpusgl.loader.safetensors_loader import init_params_streamed
+    from tpusgl.ops.paged_attention import pallas_attention
+    from tpusgl.ops.sampling import SamplingArrays
+    from tpusgl.runtime.state import check_scale_geometry, init_state
+    from tpusgl.runtime.steps import StepFunctions
+
+    cfg = ModelConfig(
+        hidden_size=8192, num_attention_heads=64, num_key_value_heads=8,
+        intermediate_size=29568, num_hidden_layers=1, vocab_size=2048,
+        rms_norm_eps=1e-5, max_position_embeddings=256, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    quant = QuantConfig(weight_dtype="int4", kv_dtype="int8")
+    P = 8
+    ecfg = EngineConfig(
+        max_total_tokens=128, max_requests=2, tp=8, dp=1, page_size=P,
+        pages_per_block=2, quant=quant,
+        decode_bs_buckets=(2,), prefill_len_buckets=(8,), kv_len_bucket=32,
+        decode_window=1,
+    )
+    mesh = make_mesh(dp=1, tp=8)
+    saved = linear_mod.INT4_CLIP_CANDIDATES
+    linear_mod.INT4_CLIP_CANDIDATES = (1.0,)  # init-time speed only
+    try:
+        params = init_params_streamed(
+            cfg, jax.random.PRNGKey(7), jnp.float32, quant=quant, mesh=mesh
+        )
+    finally:
+        linear_mod.INT4_CLIP_CANDIDATES = saved
+    # gate_up stays int4; qkv/o int8 via the keep-mix; down int8 via the
+    # 29568 % (64*8) != 0 group fallback
+    assert "w4" in params["layers"][0]["gate_up"]
+    assert params["layers"][0]["down"]["w"].dtype == jnp.int8
+    assert params["layers"][0]["qkv"]["w"].dtype == jnp.int8
+
+    state = init_state(cfg, ecfg, kv_dtype=jnp.float32, mesh=mesh)
+    check_scale_geometry(state, cfg, ecfg)
+    attn = functools.partial(
+        pallas_attention, page_size=P, pages_per_block=2, interpret=True,
+    )
+    steps = StepFunctions(
+        params, cfg, ecfg, attn_impl=attn, paged_kernel=True, mesh=mesh,
+    )
+
+    S = 8
+    kv_rows = (np.arange(P, dtype=np.int32) + P)[None, :]
+    state, first = steps.prefill(
+        state, np.array([0], np.int32),
+        (np.arange(1, S + 1, dtype=np.int32) % cfg.vocab_size)[None, :],
+        np.array([S], np.int32), np.array([0], np.int32),
+        kv_rows[:, :S].copy(), None, SamplingArrays.full(1),
+        np.full((1, 64), cfg.vocab_size, np.int32), None,
+        simple=True,
+    )
+    B = 2
+    req_indices = np.full((B,), ecfg.max_requests, np.int32)
+    req_indices[0] = 0
+    seq_lens = np.ones((B,), np.int32)
+    seq_lens[0] = S + 1
+    out_loc = np.zeros((B, 1), np.int32)
+    out_loc[0] = [2 * P]
+    page_tbl = np.zeros((B, ecfg.pages_per_seq), np.int32)
+    page_tbl[0, :3] = [1, 2, 2]
+    state, ids = steps.decode(
+        ecfg.max_context_len, 1, state, req_indices, seq_lens, out_loc,
+        page_tbl, SamplingArrays.full(B), None, simple=True,
+    )
+    f = int(np.asarray(first)[0])
+    toks = np.asarray(ids)[:, 0].tolist()
+    assert 0 <= f < cfg.vocab_size
+    assert all(0 <= t < cfg.vocab_size for t in toks)

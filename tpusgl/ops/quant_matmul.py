@@ -59,6 +59,77 @@ def _qmm_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _qmm_int8_manual_kernel(
+    x_ref, w_hbm, s_ref, o_ref, acc_ref, wbufs, sems, *,
+    nm: int, nn: int, nk: int, bk: int, bn: int,
+):
+    """int8 kernel with MANUALLY double-buffered weight DMA (w arrives as a
+    raw HBM ref, not an XLA-pipelined block operand). Kept as a measured
+    round-5 EXPERIMENT (off by default):
+
+    Motivation: bench decode traces show XLA staging the 68 MB down-proj
+    weight through `slice-done s8[4736,3584]` copies around EVERY call —
+    ~1.9 GB / ~1.9 ms of DMA-active time per decode iteration (the round-4
+    "MSA S(1) staging" line, finally attributed). Hypothesis was that an
+    ANY-space operand + in-kernel DMA removes the staging.
+
+    Measured result: the staging copies PERSIST bit-for-bit with this
+    kernel (they attach to the parameter buffer, not the operand pipeline
+    — isolated probes show every quant-matmul weight gets a per-call S(1)
+    copy regardless of size or operand spec), and the end-to-end bench is
+    ~1.7% SLOWER (3320 vs 3377 tok/s: the all-"arbitrary" grid serializes
+    dimensions the XLA pipeline overlaps). Together with round 3's aliased
+    pass-through (worse) and inline=True (fixed the pjit-boundary copies
+    only), this closes the staging investigation client-side: the copies
+    are memory-space-assignment behavior reachable only via libtpu flags
+    the remote-compile service does not forward — and their trace duration
+    largely OVERLAPS compute (removing the kernel-side difference changed
+    throughput by <2% despite identical staging).
+
+    The double buffer is carried ACROSS grid steps via the linear step
+    index t = (m*nn + n)*nk + k (all grid dims must therefore be
+    "arbitrary": the slot parity is cross-iteration state)."""
+    m, n, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    t = (m * nn + n) * nk + k
+    total = nm * nn * nk
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def copy_for(tt, slot):
+        kk = jax.lax.rem(tt, nk)
+        nb = jax.lax.rem(tt // nk, nn)
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(kk * bk, bk), pl.ds(nb * bn, bn)],
+            wbufs.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _bootstrap():
+        copy_for(0, slot).start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch():
+        copy_for(t + 1, nxt).start()
+
+    copy_for(t, slot).wait()
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...],
+        wbufs[slot].astype(x_ref.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
 def _qmm_int4_kernel(x_ref, w_ref, gs_ref, o_ref, acc_ref, *, nk: int,
                      gpb: int = 1):
     """gpb == 1: x block [BM, BK], one group (BK == G) per k step.
@@ -123,6 +194,7 @@ def quant_matmul(
     bm: int = 128,
     bn: int = 512,
     bk: int = 512,
+    manual_w: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out[M, N] = x @ dequant(w). Exactly one of s / gs must be given; with
@@ -154,12 +226,28 @@ def quant_matmul(
         raise ValueError(f"untileable {M}x{K}x{N} with ({bm},{bn},{bk})")
     nm, nn, nk = M // bm, N // bn, K // bk
 
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    semantics = ("parallel", "parallel", "arbitrary")
     if s is not None:
-        kernel = functools.partial(_qmm_int8_kernel, nk=nk)
         scale_op = s.reshape(1, N).astype(jnp.float32)
         scale_spec = pl.BlockSpec((1, bn), lambda m, n, k: (0, n))
-        w_spec = pl.BlockSpec((bk, bn), lambda m, n, k: (k, n))
         w_bytes = K * N
+        if manual_w:
+            kernel = functools.partial(
+                _qmm_int8_manual_kernel,
+                nm=nm, nn=nn, nk=nk, bk=bk, bn=bn,
+            )
+            w_spec = pl.BlockSpec(memory_space=pl.ANY)
+            scratch += [
+                pltpu.VMEM((2, bk, bn), w.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            # the double-buffer slot parity is cross-iteration state over
+            # the LINEAR step index, so every grid dim must run in order
+            semantics = ("arbitrary", "arbitrary", "arbitrary")
+        else:
+            kernel = functools.partial(_qmm_int8_kernel, nk=nk)
+            w_spec = pl.BlockSpec((bk, bn), lambda m, n, k: (k, n))
     else:
         kernel = functools.partial(_qmm_int4_kernel, nk=nk, gpb=gpb)
         scale_op = gs.astype(jnp.float32)
@@ -184,9 +272,9 @@ def quant_matmul(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * K,
