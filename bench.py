@@ -382,6 +382,7 @@ def main() -> None:
             accepted = m.get("spec_accepted", 0)
             spec = {
                 "spec_steps": m["spec_steps"],
+                "spec_disables": m.get("spec_disables", 0),
                 "spec_proposed": proposed,
                 "spec_accepted": accepted,
                 "spec_acceptance": round(accepted / max(1, proposed), 3),

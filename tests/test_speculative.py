@@ -120,3 +120,40 @@ def test_spec_pool_accounting(params):
         sched.page_pool.available_size() + sched.tree.evictable_size()
         == eng.cfg.max_total_tokens
     )
+
+
+def test_spec_auto_disable_fires_and_reprobes(params):
+    """VERDICT r4 #4a: a low-value speculation workload must trip the
+    rolling gate (acceptance OR tokens/req/step) and turn speculation off
+    for speculative_reprobe_interval decode steps — bounding the harm —
+    then re-probe. Counts only, so multihost processes decide identically."""
+    import dataclasses
+
+    ecfg = EngineConfig(
+        **BASE, speculative_tokens=4,
+        speculative_probe_steps=4, speculative_reprobe_interval=16,
+    )
+    engine = Engine(
+        model_cfg=CFG, engine_cfg=ecfg, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    rng = np.random.default_rng(9)
+    # pure-random prompts: a random-weight greedy model loops quickly, so
+    # the few drafts found are accepted, but most rows draft nothing ->
+    # the tokens/req/step gate fires even at high acceptance
+    prompts = [list(rng.integers(0, CFG.vocab_size, n)) for n in (24, 31, 19)]
+    sp = SamplingParams(max_new_tokens=96, do_sample=False, eos_id=-1)
+    out = engine.scheduler.run_batch(prompts, sp, overlap=False)
+    m = engine.scheduler.metrics
+    assert m.get("spec_steps", 0) >= 4, m
+    assert m.get("spec_disables", 0) >= 1, (
+        "gate never fired", m.get("spec_steps"), m.get("spec_proposed"),
+        m.get("spec_accepted"))
+    # and the outputs are still exactly greedy (disable/re-probe cannot
+    # change committed tokens)
+    plain = EngineConfig(**BASE)
+    eng2 = Engine(
+        model_cfg=CFG, engine_cfg=plain, params=params, dtype=jnp.float32,
+        attn_impl=ref_attention, sample_k_cap=CFG.vocab_size,
+    )
+    assert out == eng2.scheduler.run_batch(prompts, sp, overlap=False)

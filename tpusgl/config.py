@@ -384,6 +384,14 @@ class EngineConfig:
     # derive from committed tokens, so every multihost process makes the
     # same on/off decision on the same step.
     speculative_min_acceptance: float = 0.5
+    # Second gate: committed tokens per request per spec step (1.0 = plain
+    # decode). Catches high-acceptance/low-coverage workloads (few rows
+    # find an n-gram draft at all — measured 82% acceptance but only 1.33
+    # tokens/req/step on a random-weight looping model) that the
+    # acceptance gate alone misses. 1.5 sits above the 7B weight-streaming
+    # break-even (~1.2) with margin; purely count-based, so multihost
+    # processes decide identically.
+    speculative_min_tokens_per_req: float = 1.5
     speculative_probe_steps: int = 16
     speculative_reprobe_interval: int = 256
 

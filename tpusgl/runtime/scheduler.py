@@ -1288,24 +1288,35 @@ class Scheduler:
                 self.finished.append(req)
         self.decoding = [r for r in self.decoding if not r.finished]
 
-        # Rolling-acceptance gate: derived purely from committed tokens, so
-        # every multihost process flips speculation off/on at the same step.
-        self._spec_window.append((step_proposed, step_accepted))
+        # Rolling gates, derived purely from committed token counts so
+        # every multihost process flips speculation off/on at the same
+        # step: (a) acceptance rate of proposed drafts, (b) committed
+        # tokens per request per spec step — (b) catches workloads where
+        # the few drafts found are good but most rows find none (measured:
+        # 82% acceptance, 1.33 tokens/req/step on a random-weight looping
+        # model — a large net loss vs multi-token decode windows).
+        self._spec_window.append((step_proposed, step_accepted,
+                                  len(sub.requests)))
         if len(self._spec_window) >= self.cfg.speculative_probe_steps:
-            prop = sum(p for p, _ in self._spec_window)
-            acc = sum(a for _, a in self._spec_window)
+            prop = sum(p for p, _, _ in self._spec_window)
+            acc = sum(a for _, a, _ in self._spec_window)
+            reqs = sum(b for _, _, b in self._spec_window)
             rate = acc / prop if prop else 0.0
-            if rate < self.cfg.speculative_min_acceptance:
+            tpr = 1.0 + (acc / reqs if reqs else 0.0)
+            if (rate < self.cfg.speculative_min_acceptance
+                    or tpr < self.cfg.speculative_min_tokens_per_req):
                 self._spec_off_steps = self.cfg.speculative_reprobe_interval
                 self.metrics["spec_disables"] = (
                     self.metrics.get("spec_disables", 0) + 1
                 )
                 logger.info(
-                    "speculation off for %d decode steps (acceptance %.1f%% "
-                    "< %.0f%% over %d spec steps)",
-                    self._spec_off_steps, 100 * rate,
-                    100 * self.cfg.speculative_min_acceptance,
+                    "speculation off for %d decode steps (acceptance "
+                    "%.1f%%, %.2f tokens/req/step over %d spec steps; "
+                    "gates: >=%.0f%% and >=%.2f)",
+                    self._spec_off_steps, 100 * rate, tpr,
                     len(self._spec_window),
+                    100 * self.cfg.speculative_min_acceptance,
+                    self.cfg.speculative_min_tokens_per_req,
                 )
             self._spec_window = []
 
